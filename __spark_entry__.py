@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl on sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                   the training-data pipeline ops).
+``oracle_sql()`` — DuckDB twins; omitted for genuinely non-SQL ops
+                   (full crawl loop, UDF extraction, media stubs) which
+                   get the weaker rows-only check.
+
+Cross-engine exactness rules used throughout (see textops.py /
+simsearch.py docstrings): md5 for portable hashing, DECIMAL for
+order-independent sums, single-division doubles only, ranks instead of
+raw float scores, explicit BIGINT casts for DuckDB HUGEINT sums.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from supacrawler_spark import simsearch, textops  # noqa: E402
+from supacrawler_spark.functions import (  # noqa: E402
+    canon_info,
+    domain_scope_udf,
+    match_patterns_udf,
+)
+from supacrawler_spark.operators.rank import ordered_row_number  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Synthetic URL construction shared (as literal SQL snippets) by the
+# Spark side and the DuckDB oracle — both engines build byte-identical
+# URL strings from doc_id.
+URL_SQL = (
+    "'https://h' || CAST(doc_id % 32 AS STRING) || '.example.org' || "
+    "CASE CAST(doc_id % 5 AS INT) "
+    " WHEN 0 THEN '/' "
+    " WHEN 1 THEN '/blog/p' || CAST(doc_id AS STRING) || '#x' "
+    " WHEN 2 THEN '/docs/p' || CAST(doc_id AS STRING) || '?q=1' "
+    " WHEN 3 THEN '/news/p' || CAST(doc_id AS STRING) || '?q=1#y' "
+    " ELSE '/product/p' || CAST(doc_id AS STRING) END"
+)
+URL_SQL_DUCK = URL_SQL.replace("AS STRING", "AS VARCHAR")
+
+HOST_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.h1.example.org' "
+    "WHEN 1 THEN 'h1.example.org' ELSE 'sub.h1.example.org' END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Group A — crawl-relational operator analogs (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_crawl_stats(spark, sf_dir):
+    """A1: crawl statistics aggregate (crawl/service.go:701-706)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("total_pages"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .alias("successful_pages"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .alias("failed_pages"),
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """J2: URL-seen anti-join (crawl/service.go:525-527) — customers
+    with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_fetch_join(spark, sf_dir):
+    """J1: fetch left-join with miss -> 404 (isValidResult analog,
+    scrape/service.go:648-668)."""
+    o = _t(spark, sf_dir, "orders").filter("o_orderkey < 2000")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        c, (o.o_custkey == c.c_custkey) & (c.c_custkey % 7 != 0), "left")
+    return joined.select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("c_custkey").isNull(), 404).otherwise(200)
+        .alias("status_code"),
+        "c_mktsegment")
+
+
+def q_politeness_topk(spark, sf_dir):
+    """A6/L: per-host politeness budget — first 3 orders per customer
+    in deterministic order (window rank <= K)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+def q_frontier_rank(spark, sf_dir):
+    """§2.5: deterministic global crawl-order rank (priority queue) —
+    exercises the scalable two-phase ordered_row_number."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    ranked = ordered_row_number(
+        li, [F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+             F.col("l_linenumber")], "crawl_ord")
+    return (ranked.filter(F.col("crawl_ord") <= 100)
+            .select("crawl_ord", "l_orderkey", "l_linenumber",
+                    "l_extendedprice"))
+
+
+def q_first_seen_dedup(spark, sf_dir):
+    """J5: first-seen-wins dedup (mapper/service.go:146-152) — first
+    event per user."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_id", "event_type"))
+
+
+def q_host_counts(spark, sf_dir):
+    """A6: per-host frontier counts (synthetic host from user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn(
+        "host", F.concat(F.lit("h"), (F.col("user_id") % 32).cast("string")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_events"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value")))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped agg (decimal sums for cross-engine exactness)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        "l_shipdate <= timestamp '2024-09-01 00:00:00'")
+    # all arithmetic in exact decimal: a double product cast to 2dp
+    # would tie-round differently across engines (HALF_UP vs HALF_EVEN)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = price * (F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("decimal(22,2)").alias("sum_qty"),
+        F.sum(price).cast("decimal(22,2)").alias("sum_base_price"),
+        F.sum(disc).cast("decimal(22,4)").alias("sum_disc_price"),
+        F.count("*").alias("count_order")))
+
+
+def q_broadcast_dim(spark, sf_dir):
+    """J4: broadcast dimension join (robots/politeness analog)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers")))
+
+
+def q_budget_limit(spark, sf_dir):
+    """L1/L2: deterministic ORDER BY + LIMIT (link budget truncation)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(50)
+            .select("o_orderkey", "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Group B — URL kernel over synthesized URLs
+# ---------------------------------------------------------------------------
+
+def q_url_canonicalize(spark, sf_dir):
+    """F1+F2: canonicalization UDF vs SQL-replicated rules."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", URL_SQL + " AS url")
+    return (d.withColumn("_c", canon_info(F.col("url")))
+            .select("doc_id", "url",
+                    F.col("_c.url_canon").alias("url_canon"),
+                    F.col("_c.host").alias("host")))
+
+
+def q_pattern_filter(spark, sf_dir):
+    """F4: glob pattern predicate (crawl/service.go:780-817)."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", URL_SQL + " AS url")
+    keep = match_patterns_udf(("/blog/*", "/docs/*"))(F.col("url"))
+    return d.filter(keep).select("doc_id", "url")
+
+
+def q_domain_scope(spark, sf_dir):
+    """F3: domain scoping incl. www-strip and subdomain flag
+    (mapper/service.go:241-254)."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", HOST_SQL + " AS host")
+    seed = F.lit("h1.example.org")
+    return d.select(
+        "doc_id", "host",
+        domain_scope_udf(False)(F.col("host"), seed).alias("in_scope"),
+        domain_scope_udf(True)(F.col("host"), seed).alias("in_scope_subs"))
+
+
+# ---------------------------------------------------------------------------
+# Group C/D — text + dedup + similarity ops (builders in textops/simsearch)
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    return simsearch.cosine_topk(spark, sf_dir).select(
+        "query_id", "rank", "neighbor_id")
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return simsearch.lsh_buckets(spark, sf_dir)
+
+
+def q_lsh_topk(spark, sf_dir):
+    return simsearch.lsh_topk(spark, sf_dir).select(
+        "query_id", "rank", "neighbor_id")
+
+
+# ---------------------------------------------------------------------------
+# Group E — Spark-only (rows-only check: non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def q_crawl_trace(spark, sf_dir):
+    """The flagship: full iterative crawl over the synthetic web
+    (fetch-join + UDF extraction + politeness + bloom + checkpointing —
+    not SQL-expressible; correctness is pinned by the oracle suite in
+    tests/test_crawl_engine.py)."""
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.sources import gen_pages_df, gen_seeds
+
+    pages_df, n_pages = gen_pages_df(spark, sf_dir, limit=150)
+    run = run_crawl(spark, pages_df, gen_seeds(n_pages, k=2),
+                    CrawlParams(depth=2, link_limit=25),
+                    collect_lineage=False)
+    return run.trace
+
+
+def q_scrape_markdown(spark, sf_dir):
+    """X1-X8: single-page scrape through the pipeline (extraction UDF
+    output shape; byte-identity pinned by tests/test_htmlkit.py)."""
+    from supacrawler_spark.plans import scrape_one
+    from supacrawler_spark.sources import gen_pages_df
+    from supacrawler_spark.sources.synth import page_url
+
+    pages_df, n_pages = gen_pages_df(spark, sf_dir, limit=50)
+    return scrape_one(spark, pages_df, page_url(0)).select(
+        "url", "status_code", "success", "title", "discovered")
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal: binary payload -> typed metadata via mapInPandas
+    (decode stubbed deterministically; see multimodal.py)."""
+    from supacrawler_spark import multimodal
+    return multimodal.media_metadata(multimodal.docs_as_media(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: an end-to-end crawl;
+    returns the crawl-ordered result rows (driver checks rows>0)."""
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.sources import gen_pages_df, gen_seeds
+
+    sf = "/root/testdata/sf0.001"
+    pages_df, n_pages = gen_pages_df(spark, sf, limit=200)
+    run = run_crawl(spark, pages_df, gen_seeds(n_pages, k=2),
+                    CrawlParams(depth=2, link_limit=30),
+                    collect_lineage=False)
+    return run.results.select(
+        "url", "iter", "depth", "crawl_ord", "status_code", "title",
+        "discovered", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # crawl-relational operator analogs
+        "crawl_stats": q_crawl_stats,
+        "seen_anti_join": q_seen_anti_join,
+        "fetch_join": q_fetch_join,
+        "politeness_topk": q_politeness_topk,
+        "frontier_rank": q_frontier_rank,
+        "first_seen_dedup": q_first_seen_dedup,
+        "host_counts": q_host_counts,
+        "pricing_summary": q_pricing_summary,
+        "broadcast_dim": q_broadcast_dim,
+        "budget_limit": q_budget_limit,
+        # URL kernel
+        "url_canonicalize": q_url_canonicalize,
+        "pattern_filter": q_pattern_filter,
+        "domain_scope": q_domain_scope,
+        # text analysis
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "fingerprint": textops.fingerprint,
+        # dedup
+        "exact_dedup": textops.exact_dedup,
+        "doc_shingles": textops.doc_shingles,
+        "minhash_signatures": textops.minhash_signatures,
+        "minhash_lsh_pairs": textops.minhash_lsh_pairs,
+        "ngram_jaccard": textops.ngram_jaccard_pairs,
+        "simhash": textops.simhash,
+        # similarity search
+        "cosine_topk": q_cosine_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "lsh_topk": q_lsh_topk,
+        # Spark-only (rows-only check)
+        "crawl_trace": q_crawl_trace,
+        "scrape_markdown": q_scrape_markdown,
+        "media_metadata": q_media_metadata,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _minhash_sql_core() -> str:
+    """Shared shingle CTE (3-gram, distinct, docs with >= 3 tokens)."""
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(w)-1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+        "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+        "WHERE len(string_split(text,' ')) >= 3))"
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, kws in sorted(textops.LANG_STOPWORDS.items()):
+        inlist = ",".join(f"'{k}'" for k in kws)
+        parts.append(
+            f"CAST(sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS score_{lang}")
+    return ", ".join(parts)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    nib = ", ".join(
+        f"strpos('0123456789abcdef', substring(md5(tok), {i + 1}, 1)) - 1"
+        f" AS n{i}" for i in range(bits // 4))
+    votes = ", ".join(
+        f"CAST(sum(CASE WHEN (n{b // 4} >> {b % 4}) & 1 = 1 THEN 1 "
+        f"ELSE -1 END) AS BIGINT) AS v{b}" for b in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE 0 END)" for b in range(bits))
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok"
+        " FROM documents), "
+        f"nibs AS (SELECT doc_id, {nib} FROM toks), "
+        f"votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id) "
+        f"SELECT doc_id, {fp} AS simhash FROM votes")
+
+
+def _cosine_sql(ann: bool) -> str:
+    planes = simsearch.plane_weights()
+    if ann:
+        bucket = " + ".join(
+            "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{','.join(str(x) for x in w)}]::DOUBLE[]) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+            for p, w in enumerate(planes))
+        return (
+            f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id AS query_id, embedding AS qe, bucket "
+            "FROM b WHERE vec_id < 20), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket "
+            "FROM b WHERE vec_id >= 20), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "list_cosine_similarity(CAST(qe AS DOUBLE[]), "
+            "CAST(ce AS DOUBLE[])) AS score "
+            "FROM c JOIN q USING (bucket)), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+            "FROM s) "
+            "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
+            "FROM r WHERE rank <= 3")
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+        "FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
+        "FROM embeddings WHERE vec_id >= 5), "
+        "s AS (SELECT query_id, neighbor_id, "
+        "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
+        " AS score FROM q CROSS JOIN c), "
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+        "FROM s) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
+        "FROM r WHERE rank <= 5")
+
+
+def _lsh_bucket_sql() -> str:
+    planes = simsearch.plane_weights()
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{','.join(str(x) for x in w)}]::DOUBLE[]) >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, w in enumerate(planes))
+    return f"SELECT vec_id, {bucket} AS bucket FROM embeddings"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mh = ", ".join(
+        f"min(md5('{k}' || '|' || shingle)) AS mh{k}"
+        for k in range(textops.MINHASH_PERMS))
+    rows_per_band = textops.MINHASH_PERMS // textops.LSH_BANDS
+    band_exprs = []
+    for b in range(textops.LSH_BANDS):
+        parts = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_exprs.append(f"({b}, md5({parts}))")
+
+    stop_in = ",".join(f"'{s}'" for s in textops.STOPWORDS_EN)
+
+    return {
+        "crawl_stats": (
+            "SELECT count(*) AS total_pages, "
+            "CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS successful_pages, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS failed_pages FROM events"),
+        "seen_anti_join": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "fetch_join": (
+            "SELECT o_orderkey, o_custkey, "
+            "CASE WHEN c_custkey IS NULL THEN 404 ELSE 200 END "
+            "AS status_code, c_mktsegment "
+            "FROM (SELECT * FROM orders WHERE o_orderkey < 2000) o "
+            "LEFT JOIN customer c ON c.c_custkey = o.o_custkey "
+            "AND c.c_custkey % 7 <> 0"),
+        "politeness_topk": (
+            "SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"),
+        "frontier_rank": (
+            "SELECT crawl_ord, l_orderkey, l_linenumber, l_extendedprice "
+            "FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, "
+            "l_linenumber) AS crawl_ord FROM lineitem) WHERE crawl_ord <= 100"),
+        "first_seen_dedup": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "WHERE rn = 1"),
+        "host_counts": (
+            "SELECT 'h' || CAST(user_id % 32 AS VARCHAR) AS host, "
+            "count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY 1"),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2)) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            "AS DECIMAL(22,2)) AS sum_base_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+            " AS DECIMAL(22,4)) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "broadcast_dim": (
+            "SELECT r_name, n_name, count(*) AS n_customers FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r_name, n_name"),
+        "budget_limit": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"),
+        "url_canonicalize": (
+            f"WITH u AS (SELECT doc_id, {URL_SQL_DUCK} AS url "
+            "FROM documents), "
+            "c AS (SELECT doc_id, url, regexp_replace("
+            "regexp_replace(url, '#.*$', ''), "
+            "'^(https://[^/]+)/$', '\\1') AS url_canon FROM u) "
+            "SELECT doc_id, url, url_canon, "
+            "regexp_extract(url, '^https://([^/#?]+)', 1) AS host FROM c"),
+        "pattern_filter": (
+            f"WITH u AS (SELECT doc_id, {URL_SQL_DUCK} AS url "
+            "FROM documents), "
+            "p AS (SELECT doc_id, url, coalesce(nullif(regexp_extract("
+            "url, '^https://[^/]+(/[^?#]*)', 1), ''), '/') AS path FROM u) "
+            "SELECT doc_id, url FROM p WHERE path = '/blog' "
+            "OR path LIKE '/blog/%' OR path = '/docs' OR path LIKE '/docs/%'"),
+        "domain_scope": (
+            f"WITH h AS (SELECT doc_id, {HOST_SQL} AS host FROM documents), "
+            "s AS (SELECT doc_id, host, "
+            "regexp_replace(host, '^www\\.', '') AS stripped FROM h) "
+            "SELECT doc_id, host, stripped = 'h1.example.org' AS in_scope, "
+            "(stripped = 'h1.example.org' OR stripped LIKE '%.h1.example.org'"
+            " OR 'h1.example.org' LIKE '%.' || stripped) AS in_scope_subs "
+            "FROM s"),
+        "token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
+            "AS n_tokens, CAST(length(text) AS INT) AS len_chars "
+            "FROM documents"),
+        "quality_score": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) "
+            "AS tok FROM documents) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            f"CAST(sum(CASE WHEN tok IN ({stop_in}) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_stopwords, "
+            f"CAST(sum(CASE WHEN tok IN ({stop_in}) THEN 1 ELSE 0 END) "
+            "AS BIGINT) / count(*) AS stopword_ratio, "
+            "CAST(sum(length(tok)) AS BIGINT) / count(*) AS avg_token_len "
+            "FROM toks GROUP BY doc_id"),
+        "lang_id": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) "
+            "AS tok FROM documents), "
+            f"s AS (SELECT doc_id, {_lang_scores_sql()} FROM toks "
+            "GROUP BY doc_id) "
+            "SELECT doc_id, score_de, score_en, score_fr, "
+            "CASE WHEN score_en = greatest(score_de, score_en, score_fr) "
+            "THEN 'en' WHEN score_de = greatest(score_de, score_en, score_fr)"
+            " THEN 'de' ELSE 'fr' END AS pred_lang FROM s"),
+        "fingerprint": (
+            "SELECT doc_id, md5(text) AS fp, "
+            "md5(substring(text, 1, 40)) AS fp_prefix40 FROM documents"),
+        "exact_dedup": (
+            "SELECT fp, count(*) AS dup_count, min(doc_id) AS keep_doc_id "
+            "FROM (SELECT doc_id, md5(substring(text,1,16)) AS fp "
+            "FROM documents) GROUP BY fp HAVING count(*) > 1"),
+        "doc_shingles": _minhash_sql_core() + " SELECT doc_id, shingle FROM sh",
+        "minhash_signatures": (
+            _minhash_sql_core() +
+            f" SELECT doc_id, {mh} FROM sh GROUP BY doc_id"),
+        "minhash_lsh_pairs": (
+            _minhash_sql_core() + ", "
+            f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+            "bands AS (" + " UNION ALL ".join(
+                "SELECT doc_id, {b} AS band_id, md5({cat}) AS bh FROM sig"
+                .format(b=b, cat=" || '|' || ".join(
+                    f"mh{b * rows_per_band + r}"
+                    for r in range(rows_per_band)))
+                for b in range(textops.LSH_BANDS)) + ") "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            "AND a.bh = b.bh AND a.doc_id < b.doc_id"),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT DISTINCT doc_id, "
+            "unnest(list_transform(range(1, len(w)-1), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+            "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+            "WHERE doc_id < 200 AND len(string_split(text,' ')) >= 3)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_inter FROM sh a JOIN sh b ON a.shingle = b.shingle"
+            " AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, n_inter, "
+            "n_inter / (sa.n + sb.n - n_inter) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
+        "simhash": _simhash_sql(),
+        "cosine_topk": _cosine_sql(ann=False),
+        "lsh_buckets": _lsh_bucket_sql(),
+        "lsh_topk": _cosine_sql(ann=True),
+        # crawl_trace / scrape_markdown / media_metadata: non-SQL
+        # (iterative loop + Python-kernel extraction) -> rows-only check
+    }

@@ -601,6 +601,21 @@ def extract_links(html: str, base_url: str) -> "list[str]":
     return uniq
 
 
+def extract_hrefs(html: str) -> "list[str]":
+    """Raw ``<a href>`` values in document order (colly's ``a[href]``
+    selector, mapper/service.go:127). Used by the *discovery* path,
+    which absolutizes RFC-style via ``urljoin`` (colly
+    e.Request.AbsoluteURL = net/url ResolveReference), unlike the
+    result-links path (``extract_links``) whose crude string
+    absolutization is the scrape service's (service.go:345-371)."""
+    root = parse_html(html)
+    out = []
+    for n in _walk(root):
+        if n.tag == "a" and "href" in n.attrs:
+            out.append(n.attrs["href"])
+    return out
+
+
 METADATA_FIELDS = (
     "status_code", "source_url", "title", "description", "language",
     "canonical", "favicon", "og_title", "og_description", "og_image",

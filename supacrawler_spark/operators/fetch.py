@@ -1,0 +1,161 @@
+"""Fetch join + extraction + discovery expansion (SURVEY.md §2.1 S2,
+§2.8 X1-X8, §2.3 J1).
+
+The corpus join replaces the reference's Playwright fetch: a frontier
+URL present in pages "returns" its html (status 200); an absent URL is
+the 404/error path (scrape/service.go:121-270, isValidResult 648-668).
+
+Extraction is ONE mapInPandas pass per wave over (frontier row ⨝ html):
+markdown/text/links/title/metadata plus the engine-internal `discovery`
+array (colly-style canonical links used for expansion). The html column
+never survives past this stage unless include_html — fat binaries are
+not shuffled onward (SURVEY.md §7.3.5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from supacrawler_spark import htmlkit as H
+from supacrawler_spark import urlkit as U
+from supacrawler_spark.oracle import ERR_LOW_QUALITY, ERR_ROBOTS
+from supacrawler_spark.schemas import RESULT_SCHEMA
+from supacrawler_spark.functions import (
+    link_info,
+    domain_scope_udf,
+    match_patterns_udf,
+    robots_allowed_udf,
+)
+
+
+def fetch_join(scheduled: DataFrame, pages_prep: DataFrame) -> DataFrame:
+    """J1: frontier left-joins the corpus on the canonical URL.
+
+    The scheduled side is politeness-capped (small relative to pages) —
+    the SHUFFLE_HASH hint makes it the build side instead of sort-merge
+    sorting the whole corpus; with a bucketed pages table the corpus
+    shuffle disappears entirely (see plans.crawl.bucketize_pages).
+    """
+    web = pages_prep.select(F.col("url_canon").alias("url"), "html")
+    return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
+
+
+def make_extractor(max_depth: int, include_html: bool, fresh: bool):
+    """Build the wave-extraction mapInPandas function.
+
+    Per scheduled row (oracle.py spec):
+    - status 200/404 by corpus presence; 403 when fresh && robots-blocked
+      (ScrapeURL, scrape/service.go:71-75);
+    - pattern-rejected seeds: no result, no error, still expanded
+      (streamCrawl 470-503);
+    - success iff markdown >= 10 chars (isValidResult 648-668), else
+      ERR_LOW_QUALITY;
+    - `discovery` (expansion links) iff html && depth < max_depth &&
+      robots allows the page (mapper OnRequest 175-195).
+    """
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                html_b = r.html
+                html = (bytes(html_b).decode("utf-8", "replace")
+                        if html_b is not None else None)
+                status = 200 if html is not None else 404
+                is_seed = r.parent_ord == -1
+                pattern_ok = bool(r.pattern_ok) if is_seed else True
+                robots_ok = bool(r.robots_ok)
+
+                success = False
+                error = None
+                title = markdown = text = None
+                links = None
+                discovered = None
+                metadata = None
+
+                if pattern_ok:
+                    if fresh and not robots_ok:
+                        error = ERR_ROBOTS
+                        status = 403
+                    elif html is None:
+                        error = ERR_LOW_QUALITY
+                    else:
+                        markdown = H.crawl_markdown(html)
+                        if len(markdown.strip()) < 10:
+                            error = ERR_LOW_QUALITY
+                            markdown = None
+                        else:
+                            success = True
+                            text = H.extract_text(html)
+                            links = H.extract_links(html, r.url)
+                            discovered = len(links)
+                            title = H.extract_title(html)
+                            metadata = H.extract_metadata(html, r.url, 200)
+
+                discovery = None
+                if html is not None and r.depth < max_depth and robots_ok:
+                    seen_local = set()
+                    discovery = []
+                    for href in H.extract_hrefs(html):
+                        link = U.discover_link(r.url, href)
+                        if link and link not in seen_local:
+                            seen_local.add(link)
+                            discovery.append(link)
+                    # local pre-dedup is safe: global first-seen dedup
+                    # keeps min (parent_ord, link_pos) and duplicate
+                    # hrefs on one page collapse to their first pos,
+                    # exactly as the mapper's `links` set does.
+
+                rows.append({
+                    "url": r.url, "iter": int(r.iter), "depth": int(r.depth),
+                    "crawl_ord": int(r.crawl_ord),
+                    "seed_rank": int(r.seed_rank), "seed_host": r.seed_host,
+                    "status_code": status, "success": success, "error": error,
+                    "title": title, "markdown": markdown, "text": text,
+                    "links": links, "discovery": discovery,
+                    "discovered": discovered, "metadata": metadata,
+                    "html": html_b if include_html else None,
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    return extract
+
+
+def expand_candidates(
+    results: DataFrame,
+    include_subdomains: bool,
+    patterns,
+    robots_df: "DataFrame | None",
+) -> DataFrame:
+    """Explode `discovery` into next-wave frontier candidates and apply
+    the mapper's emission filters (mapper/service.go:127-152):
+    domain scope vs seed host -> robots -> patterns. Dedup/cap happen
+    in the plan (they need global state)."""
+    cand = results.filter(
+        F.col("discovery").isNotNull() & (F.size("discovery") > 0)
+    ).select(
+        F.col("crawl_ord").alias("parent_ord"),
+        (F.col("depth") + 1).alias("depth"),
+        "seed_rank", "seed_host",
+        F.posexplode("discovery").alias("link_pos", "url"),
+    )
+    # one Arrow pass for host+hash; discovery URLs are already
+    # normalized — link_info does NOT re-clean (a re-applied cleanURL
+    # would mangle mailto:/javascript: links into fake https hosts)
+    cand = (cand.withColumn("_ci", link_info(F.col("url")))
+            .withColumn("host", F.col("_ci.host"))
+            .withColumn("url_hash", F.col("_ci.url_hash"))
+            .drop("_ci"))
+    cand = cand.filter(domain_scope_udf(include_subdomains)(
+        F.col("host"), F.col("seed_host")))
+    if robots_df is not None:
+        rules = robots_df.select("host", "allow_prefixes", "disallow_prefixes")
+        cand = cand.join(F.broadcast(rules), "host", "left")
+        cand = cand.filter(robots_allowed_udf(
+            F.col("url"), F.col("disallow_prefixes"), F.col("allow_prefixes"))
+        ).drop("allow_prefixes", "disallow_prefixes")
+    cand = cand.filter(match_patterns_udf(patterns)(F.col("url")))
+    return cand.withColumn("priority", F.lit(0.0))

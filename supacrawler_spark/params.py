@@ -1,0 +1,32 @@
+"""Crawl request parameters (mirrors CrawlCreateRequest,
+openapi/engine.yaml:400-467; defaults per streamCrawl,
+crawl/service.go:426-467)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlParams:
+    depth: int = 1                      # colly MaxDepth = max(1, depth)
+    link_limit: int = 0                 # 0 = unlimited
+    include_subdomains: bool = False
+    include_html: bool = False
+    fresh: bool = False                 # fresh=True adds the fetch-stage
+    #                                     robots check (ScrapeURL path)
+    patterns: tuple = field(default_factory=tuple)
+    max_waves: int = 1000               # driver-loop safety cap
+
+    def __post_init__(self):
+        self.patterns = tuple(self.patterns or ())
+
+    @property
+    def max_depth(self) -> int:
+        return max(1, self.depth)
+
+    @property
+    def discovery_cap(self) -> "int | None":
+        """Mapper link-limit ML = max(1, link_limit)
+        (mapper/service.go:46-60, 153-160)."""
+        return max(1, self.link_limit) if self.link_limit > 0 else None

@@ -1,0 +1,402 @@
+"""The iterative crawl driver loop (SURVEY.md §3.1 re-architecture).
+
+One Spark job pipeline per BFS wave:
+
+    frontier --politeness rank--> scheduled --⨝ pages--> extraction UDF
+      |                               |                      |
+      deferred                    seen/known append      results append
+      ^                                                       |
+      +---- next frontier <-- dedup/cap <-- emission filters <-+ explode
+
+State is a directory of per-wave parquet appends + a JSONL manifest
+(the Iceberg-snapshot role, SURVEY.md §7.1.6 — the table layer is
+pluggable; no Iceberg jars ship in this sandbox). A wave is committed
+iff its manifest line exists; every wave's writes are overwrite-
+idempotent, so a crash mid-wave resumes cleanly from the last manifest
+line (north_rule "resumable from checkpoint"). Per-wave parquet
+materialization also truncates the iterative plan lineage — without it
+the logical plan grows unboundedly across waves.
+
+Scale notes (10^10 frontier):
+- no driver-side collect of frontier/result data — the driver holds
+  only counters read from tiny aggregates;
+- global ranks via operators.rank (two-phase above 200k rows);
+- per-host politeness via salted two-phase top-K (operators.frontier);
+- the known-set anti-join is pre-filtered by the partitioned Bloom
+  state (bloom.py);
+- the corpus join shuffles only the frontier side when pages are
+  bucketed (bucketize_pages) — at design scale the pages table is an
+  Iceberg table bucket-partitioned by url hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from supacrawler_spark import urlkit as U
+from supacrawler_spark.bloom import BloomState
+from supacrawler_spark.functions import match_patterns_udf, robots_allowed_udf
+from supacrawler_spark.operators.fetch import (
+    expand_candidates,
+    fetch_join,
+    make_extractor,
+)
+from supacrawler_spark.operators.frontier import order_exprs, politeness_select
+from supacrawler_spark.operators.rank import ordered_row_number
+from supacrawler_spark.params import CrawlParams
+from supacrawler_spark.schemas import FRONTIER_SCHEMA, RESULT_SCHEMA
+from supacrawler_spark.sources import prepare_pages
+
+RESULT_COLS_USER = [
+    "url", "iter", "depth", "crawl_ord", "seed_rank", "seed_host",
+    "status_code", "success", "error", "title", "markdown", "text",
+    "links", "discovered", "metadata", "html",
+]
+
+
+@dataclass
+class CrawlRun:
+    spark: SparkSession
+    state_dir: str
+    run_id: str
+    stats: dict = field(default_factory=dict)
+    manifest: list = field(default_factory=list)
+    link_limit: int = 0
+
+    def _results_all(self) -> DataFrame:
+        return (self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(self.state_dir, "results")))
+
+    def _p(self, name: str, it: int) -> str:
+        return os.path.join(self.state_dir, name, f"{it:05d}")
+
+    @property
+    def results(self) -> DataFrame:
+        """Successful pages, crawl-ordered, truncated to link_limit
+        (HandleCrawlTask truncation, determinized by crawl_ord)."""
+        r = (self._results_all().filter("success")
+             .select(*RESULT_COLS_USER).orderBy("crawl_ord"))
+        if self.link_limit > 0:
+            r = r.limit(self.link_limit)
+        return r
+
+    @property
+    def errors(self) -> DataFrame:
+        return (self._results_all().filter(F.col("error").isNotNull())
+                .select("url", "error", "status_code", "crawl_ord")
+                .orderBy("crawl_ord"))
+
+    @property
+    def trace(self) -> DataFrame:
+        return (self._results_all()
+                .select("crawl_ord", "iter", "depth", "url", "status_code")
+                .orderBy("crawl_ord"))
+
+    @property
+    def seen(self) -> DataFrame:
+        return (self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(self.state_dir, "seen")))
+
+    @property
+    def lineage(self) -> DataFrame:
+        return (self.spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(self.state_dir, "lineage")))
+
+
+def bucketize_pages(spark, pages_df: DataFrame, table: str = "pages_bucketed",
+                    n_buckets: int = 32) -> DataFrame:
+    """Persist the corpus as a bucketed table on url_canon. Every wave's
+    fetch join then shuffles ONLY the frontier side (the Iceberg
+    bucket-partitioning stand-in)."""
+    prep = prepare_pages(pages_df)
+    (prep.write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, "url_canon").sortBy("url_canon")
+     .saveAsTable(table))
+    return spark.table(table)
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def _seed_frontier(spark, seeds) -> DataFrame:
+    rows = []
+    for raw_url, rank in sorted(seeds, key=lambda s: s[1]):
+        cu = U.canonical_url(raw_url)
+        rows.append((cu, U.extract_host(cu), U.url_hash64(cu), 0, -1,
+                     int(rank), int(rank), U.extract_host(cu), 0.0))
+    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages_df: DataFrame,
+    seeds,
+    params: "CrawlParams | None" = None,
+    *,
+    politeness_df: "DataFrame | None" = None,
+    robots_df: "DataFrame | None" = None,
+    state_dir: "str | None" = None,
+    resume: bool = False,
+    use_bloom: bool = True,
+    collect_lineage: bool = True,
+    default_host_budget: int = 10,
+    pages_prepared: bool = False,
+) -> CrawlRun:
+    """Run a crawl over the corpus. See module docstring and oracle.py
+    for the exact semantics contract.
+
+    ``seeds``: list of (url, seed_rank). ``pages_prepared``: pass True
+    when pages_df already has url_canon (e.g. from bucketize_pages).
+    """
+    params = params or CrawlParams()
+    own_state = state_dir is None
+    if own_state:
+        state_dir = tempfile.mkdtemp(prefix="supacrawler_state_")
+    os.makedirs(state_dir, exist_ok=True)
+    manifest_path = os.path.join(state_dir, "manifest.jsonl")
+
+    if pages_prepared:
+        # caller already has a canonical-keyed (possibly bucketed) table
+        pages_prep = pages_df
+    else:
+        # materialize the prepared corpus ONCE: every wave's fetch join
+        # then scans parquet instead of re-running the upstream lineage
+        # (at design scale the corpus is already an Iceberg table and
+        # this step does not exist — pass pages_prepared=True)
+        pages_path = os.path.join(state_dir, "pages")
+        if not (resume and os.path.exists(pages_path)):
+            _write(prepare_pages(pages_df), pages_path)
+        pages_prep = spark.read.parquet(pages_path)
+
+    D = params.max_depth
+    L = params.link_limit
+    ML = params.discovery_cap
+    pattern_udf = match_patterns_udf(params.patterns)
+
+    # ---- init / resume ----------------------------------------------------
+    manifest = []
+    if resume and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = [json.loads(l) for l in f if l.strip()]
+    if manifest:
+        last = manifest[-1]
+        it0 = last["iter"] + 1
+        next_ord = last["next_ord"]
+        successes = last["successes"]
+        discovered_cnt = last["discovered_cnt"]
+        limit_reached = last["limit_reached"]
+        run_id = last["run_id"]
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            os.path.join(state_dir, "frontier", f"{last['iter']:05d}"))
+        n_frontier = last["n_frontier_next"]
+    else:
+        if resume is False and os.path.exists(manifest_path):
+            # a fresh run over a used state dir: clear it
+            shutil.rmtree(state_dir)
+            os.makedirs(state_dir)
+        it0 = 0
+        next_ord = 0
+        successes = 0
+        limit_reached = False
+        run_id = uuid.uuid4().hex[:12]
+        frontier = _seed_frontier(spark, seeds)
+        n_frontier = frontier.count()
+        discovered_cnt = 0
+
+    bloom = BloomState(os.path.join(state_dir, "bloom")) if use_bloom else None
+    if bloom is not None and manifest:
+        # resume: rebuild from the known table (cheap, crash-proof)
+        known_dir = os.path.join(state_dir, "known")
+        if os.path.exists(known_dir):
+            bloom.add(spark.read.option("recursiveFileLookup", "true")
+                      .parquet(known_dir))
+
+    def known_df() -> "DataFrame | None":
+        p = os.path.join(state_dir, "known")
+        if os.path.exists(p):
+            return (spark.read.option("recursiveFileLookup", "true")
+                    .parquet(p))
+        return None
+
+    # `known` mirrors the mapper's `links` set, which never contains
+    # the seed (mapper/service.go:39, 146-152): a discovered link equal
+    # to a seed IS emitted and consumes discovery budget — so seeds
+    # must NOT be in the anti-join set. They are instead dropped from
+    # the next frontier post-cap (the crawler's processed map rejects
+    # them, crawl/service.go:525-527). Seeds are few: a driver-side
+    # literal list suffices at any scale.
+    seed_urls = [U.canonical_url(u) for u, _ in seeds]
+
+    # ---- wave loop ----------------------------------------------------------
+    it = it0
+    while n_frontier > 0 and it < params.max_waves:
+        if L > 0 and successes >= L:
+            break
+        t0 = time.time()
+
+        # 1. politeness selection (salted two-phase per-host top-B)
+        selected, deferred = politeness_select(
+            frontier, politeness_df, default_host_budget)
+
+        # 2. global rank in crawl order K; budget cut; crawl_ord
+        selected = ordered_row_number(
+            selected, order_exprs(), "_grank", hint_count=n_frontier)
+        if L > 0:
+            rem = L - successes
+            overflow = selected.filter(F.col("_grank") > rem).drop("_grank")
+            deferred = deferred.unionByName(overflow)
+            selected = selected.filter(F.col("_grank") <= rem)
+        scheduled = (selected
+                     .withColumn("crawl_ord",
+                                 (F.lit(next_ord) + F.col("_grank") - 1))
+                     .drop("_grank")
+                     .withColumn("iter", F.lit(it)))
+
+        # 3. per-row flags: seed pattern gate + robots page gate
+        scheduled = scheduled.withColumn(
+            "pattern_ok",
+            F.when(F.col("parent_ord") == -1, pattern_udf(F.col("url")))
+            .otherwise(F.lit(True)))
+        if robots_df is not None:
+            rules = robots_df.select(
+                "host", "allow_prefixes", "disallow_prefixes")
+            scheduled = scheduled.join(F.broadcast(rules), "host", "left")
+            scheduled = scheduled.withColumn(
+                "robots_ok",
+                robots_allowed_udf(F.col("url"), F.col("disallow_prefixes"),
+                                   F.col("allow_prefixes"))
+            ).drop("allow_prefixes", "disallow_prefixes")
+        else:
+            scheduled = scheduled.withColumn("robots_ok", F.lit(True))
+
+        # 4. fetch (corpus join) + extraction, committed to state
+        fetched = fetch_join(scheduled, pages_prep)
+        results = fetched.mapInPandas(
+            make_extractor(D, params.include_html, params.fresh),
+            RESULT_SCHEMA)
+        res_path = os.path.join(state_dir, "results", f"{it:05d}")
+        _write(results, res_path)
+        res_df = spark.read.parquet(res_path)
+
+        agg = res_df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("success").cast("long")).alias("s")).collect()[0]
+        wave_sched, wave_succ = agg["n"], int(agg["s"] or 0)
+
+        # seen = every scheduled URL (processed map, crawl/service.go:522-544);
+        # derived from the materialized results to avoid recomputing the
+        # scheduling lineage. Dedup correctness uses `known`, not this.
+        _write(res_df.select("url", "crawl_ord", "iter"),
+               os.path.join(state_dir, "seen", f"{it:05d}"))
+
+        if collect_lineage:
+            lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
+                   .agg(F.count("*").alias("rows"))
+                   .select(F.lit(run_id).alias("run_id"),
+                           F.lit(it).alias("iter"),
+                           F.lit("extract").alias("stage"),
+                           "partition_id", "rows"))
+            _write(lin, os.path.join(state_dir, "lineage", f"{it:05d}"))
+
+        # 5. discovery: emission filters -> known-dedup -> cap
+        n_new = 0
+        if not limit_reached:
+            cand = expand_candidates(
+                res_df, params.include_subdomains, params.patterns, robots_df)
+            kdf = known_df()
+            if kdf is not None:
+                if bloom is not None:
+                    flagged = bloom.flag(cand)
+                    fresh_c = flagged.filter(~F.col("_maybe_seen")).drop(
+                        "_maybe_seen")
+                    maybe = flagged.filter(F.col("_maybe_seen")).drop(
+                        "_maybe_seen")
+                    maybe = maybe.join(kdf.select("url"), "url", "left_anti")
+                    cand = fresh_c.unionByName(maybe)
+                else:
+                    cand = cand.join(kdf.select("url"), "url", "left_anti")
+            # intra-wave first-seen dedup (J5): min discovery order wins
+            w_url = Window.partitionBy("url").orderBy("parent_ord", "link_pos")
+            cand = (cand.withColumn("_rn", F.row_number().over(w_url))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+            # discovery cap (mapper limitReached)
+            if ML is not None:
+                avail = ML - discovered_cnt
+                cand = ordered_row_number(
+                    cand, ["parent_ord", "link_pos"], "_dord")
+                cand = cand.filter(F.col("_dord") <= avail).drop("_dord")
+            new_path = os.path.join(state_dir, "known", f"{it:05d}")
+            _write(cand.select("url", "url_hash", F.lit(it).alias("iter")),
+                   new_path)
+            cand_path = os.path.join(state_dir, "cand", f"{it:05d}")
+            _write(cand.select(*FRONTIER_SCHEMA.fieldNames()), cand_path)
+            new_cand = spark.read.schema(FRONTIER_SCHEMA).parquet(cand_path)
+            n_new = new_cand.count()
+            if bloom is not None and n_new:
+                bloom.add(new_cand.select("url_hash"))
+            if ML is not None and discovered_cnt + n_new >= ML:
+                limit_reached = True
+            discovered_cnt += n_new
+            # a discovered link equal to a seed consumed cap budget
+            # above (correct), but never re-enters the frontier (the
+            # crawler's processed map has it)
+            new_cand = new_cand.filter(~F.col("url").isin(seed_urls))
+        else:
+            new_cand = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        # 6. next frontier = deferred ∪ new candidates
+        next_frontier = deferred.select(
+            *FRONTIER_SCHEMA.fieldNames()).unionByName(new_cand)
+        fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
+        _write(next_frontier, fr_path)
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(fr_path)
+        n_frontier = frontier.count()
+
+        successes += wave_succ
+        next_ord += wave_sched
+
+        # 7. commit the wave
+        line = dict(run_id=run_id, iter=it, scheduled=wave_sched,
+                    wave_successes=wave_succ, successes=successes,
+                    next_ord=next_ord, discovered_cnt=discovered_cnt,
+                    limit_reached=limit_reached, n_frontier_next=n_frontier,
+                    wall_ms=int((time.time() - t0) * 1000))
+        manifest.append(line)
+        with open(manifest_path, "a" if it != 0 or resume else "w") as f:
+            f.write(json.dumps(line) + "\n")
+        it += 1
+
+    run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
+                   manifest=manifest, link_limit=L)
+    n_res = min(successes, L) if L > 0 else successes
+    total_err = run._results_all().filter(
+        F.col("error").isNotNull()).count() if manifest else 0
+    run.stats = dict(total_pages=n_res + total_err,
+                     successful_pages=n_res, failed_pages=total_err,
+                     waves=len(manifest), urls_scheduled=next_ord)
+    return run
+
+
+def scrape_one(spark, pages_df: DataFrame, url: str,
+               params: "CrawlParams | None" = None, **kw) -> DataFrame:
+    """§3.2 scrape equivalent: a 1-row frontier through the same
+    pipeline stages, one wave, success or error row included
+    (ScrapeResponse shape)."""
+    p = params or CrawlParams(depth=1)
+    run = run_crawl(spark, pages_df, [(url, 0)],
+                    CrawlParams(depth=1, include_html=p.include_html,
+                                fresh=p.fresh, patterns=p.patterns,
+                                max_waves=1), **kw)
+    return (run._results_all()
+            .select(*RESULT_COLS_USER)
+            .orderBy("crawl_ord").limit(1))

@@ -1,0 +1,126 @@
+"""Embedding similarity search over the embeddings table.
+
+Two paths (SURVEY/brief: ANN over an array<float> column):
+
+- ``cosine_topk``: brute-force exact top-k. The dot products run
+  JVM-side via ``aggregate(zip_with(...))`` — no Python in the loop.
+  Scale shape: queries are broadcast (small set), the corpus scan is
+  embarrassingly parallel, top-k per query is a window over
+  (query, score) — at 100 TB you bound the window input with a
+  per-partition top-k first (same two-phase trick as operators.rank).
+- ``lsh_buckets`` / ``lsh_topk``: random-hyperplane LSH. Plane weights
+  are deterministic ±1 vectors (seeded, inlined as literals so the
+  DuckDB oracle uses the exact same planes). Bucketing turns the n×m
+  cross product into an equi-join on (bucket), the scale path.
+
+All arithmetic is float64 (embeddings cast from float32) so Spark and
+DuckDB produce bit-identical sums (both fold the array sequentially).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+
+
+def plane_weights(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42):
+    """Deterministic ±1 hyperplane weights: sign of a hash bit —
+    reproducible in any engine (inlined as literals in SQL)."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for i in range(dim):
+            h = hashlib.blake2b(f"{seed}|{p}|{i}".encode(),
+                                digest_size=1).digest()[0]
+            w.append(1.0 if h & 1 else -1.0)
+        planes.append(w)
+    return planes
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(spark, sf_dir, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    against the rest of the corpus."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    c = (emb.filter(F.col("vec_id") >= n_queries)
+         .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("score",
+                          _dot(F.col("qv"), F.col("cv")) /
+                          (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("score", 6).alias("score_r")))
+
+
+def _bucket_expr(vcol, planes):
+    """LSH bucket id: bit p = (v · w_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = _dot(vcol, warr)
+        bucket = bucket + F.when(dot >= 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def lsh_buckets(spark, sf_dir, n_planes: int = N_PLANES) -> DataFrame:
+    """Assign every vector to its random-hyperplane bucket."""
+    planes = plane_weights(n_planes)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    return emb.select("vec_id", _bucket_expr(F.col("v"), planes)
+                      .alias("bucket"))
+
+
+def lsh_topk(spark, sf_dir, n_queries: int = 20, k: int = 3,
+             n_planes: int = N_PLANES) -> DataFrame:
+    """ANN: candidates share the query's bucket (equi-join on bucket),
+    exact cosine re-rank within the bucket only. The scale path: no
+    cross product, join co-partitioned by bucket."""
+    planes = plane_weights(n_planes)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    b = emb.withColumn("bucket", _bucket_expr(F.col("v"), planes))
+    q = (b.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), "bucket"))
+    c = (b.filter(F.col("vec_id") >= n_queries)
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("v").alias("cv"), "bucket"))
+    scored = (c.join(q, "bucket")
+              .withColumn("score",
+                          _dot(F.col("qv"), F.col("cv")) /
+                          (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("score", 6).alias("score_r")))

@@ -1,0 +1,262 @@
+"""Deterministic synthetic web generator (FIXTURES.md §1).
+
+Builds a Common-Crawl-style ``pages(url, warc_ts, html, text, lang)``
+table from the driver-provided ``documents`` table (text payload), as a
+pure function of ``(seed, doc_id, n_docs)`` — no RNG state, no
+wall-clock — so the link graph and every golden answer are computable
+a priori by the oracle at any scale, and generation distributes via
+``mapInPandas`` with no cross-row dependencies.
+
+Graph properties (FIXTURES.md content rules):
+- 1 hot host (~30% of pages) + 41 cold hosts (skew salting target);
+- path families /blog /docs /product /news (pattern predicates);
+- per page: same-host sibling links (BFS connectivity), cross-host
+  links (domain-scope rejections), www-/subdomain-variant and relative
+  links (absolutization + dangling 404 paths), #fragment / mailto: /
+  javascript: noise (protocol filter);
+- boilerplate <nav>/<header>/keyword-divs (markdown strip rules),
+  og/twitter/canonical metadata on subsets, pathological text
+  (control chars, zero-width unicode, duplicate image/date lines) on
+  subsets;
+- golden ``text`` column = htmlkit.extract_text(html) frozen at
+  generation time (the byte-identity target).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+from supacrawler_spark import htmlkit as H
+
+SECTIONS = ("blog", "docs", "product", "news")
+N_COLD_HOSTS = 41
+HOST_GROUPS = 128          # doc_id % 128 -> host bucket
+HOT_GROUPS = 38            # buckets 0..37 -> hot host (~30%)
+BASE_TS = datetime(2024, 1, 1)
+
+
+def _h(seed: int, *parts) -> int:
+    data = ("%d|" % seed + "|".join(str(p) for p in parts)).encode()
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def host_id(doc_id: int) -> int:
+    g = doc_id % HOST_GROUPS
+    return 0 if g < HOT_GROUPS else 1 + (g - HOT_GROUPS) % N_COLD_HOSTS
+
+
+def host_name(hid: int) -> str:
+    return "hot.example.org" if hid == 0 else f"h{hid}.example.org"
+
+
+def n_hosts() -> int:
+    return 1 + N_COLD_HOSTS
+
+
+def section(doc_id: int, seed: int = 42) -> str:
+    return SECTIONS[_h(seed, doc_id, "sec") % len(SECTIONS)]
+
+
+def page_path(doc_id: int, seed: int = 42) -> str:
+    return f"/{section(doc_id, seed)}/p{doc_id}"
+
+
+def page_url(doc_id: int, seed: int = 42) -> str:
+    return f"https://{host_name(host_id(doc_id))}{page_path(doc_id, seed)}"
+
+
+def _same_host_sibling(doc_id: int, j: int, n_docs: int) -> int:
+    """A distinct doc on the same host (host is a function of
+    doc_id % HOST_GROUPS, so stepping by HOST_GROUPS preserves it)."""
+    step = HOST_GROUPS * (1 + (j % 7))
+    cand = doc_id + step
+    if cand >= n_docs:
+        cand = doc_id - step
+    return cand if 0 <= cand < n_docs and cand != doc_id else doc_id
+
+
+def _link_specs(doc_id: int, n_docs: int, seed: int):
+    """Deterministic anchor list for a page: (href, kind)."""
+    links = []
+    base_host = host_name(host_id(doc_id))
+    # 2-4 same-host siblings as absolute URLs (BFS connectivity)
+    n_sib = 2 + _h(seed, doc_id, "ns") % 3
+    for j in range(n_sib):
+        t = _same_host_sibling(doc_id, _h(seed, doc_id, "sib", j) % 7, n_docs)
+        if t != doc_id:
+            links.append(page_url(t, seed))
+    # 1 same-host absolute-path link
+    t = _same_host_sibling(doc_id, 3 + _h(seed, doc_id, "ap") % 5, n_docs)
+    if t != doc_id:
+        links.append(page_path(t, seed))
+    # 1 cross-host absolute link (domain-scope reject, unless same host)
+    t = (_h(seed, doc_id, "x") % n_docs)
+    links.append(page_url(t, seed))
+    # www-variant of a sibling (canonicalizes to a different host -> 404)
+    if doc_id % 6 == 0:
+        t = _same_host_sibling(doc_id, 2, n_docs)
+        links.append(f"https://www.{base_host}{page_path(t, seed)}")
+    # subdomain variant (in-scope only with include_subdomains; dangling)
+    if doc_id % 9 == 0:
+        links.append(f"https://sub.{base_host}/s/p{doc_id}")
+    # protocol-relative same-host sibling
+    if doc_id % 4 == 0:
+        t = _same_host_sibling(doc_id, 5, n_docs)
+        if t != doc_id:
+            links.append(f"//{base_host}{page_path(t, seed)}")
+    # relative link (resolves under the page path -> dangling 404)
+    if doc_id % 8 == 0:
+        links.append(f"rel{doc_id % 13}")
+    # dangling same-host link (fetch-miss path)
+    if doc_id % 5 == 0:
+        links.append(f"/void/p{doc_id}")
+    # noise: fragment, mailto, javascript (protocol/domain filters)
+    links.append("#top")
+    links.append("mailto:info@example.org")
+    links.append("javascript:void(0)")
+    return links
+
+
+def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42) -> str:
+    hid = host_id(doc_id)
+    hname = host_name(hid)
+    title = f"Page {doc_id} — {hname}"
+    words = (text or "content").split()
+    para1 = " ".join(words[: max(5, len(words) // 2)]) or "content body"
+    para2 = " ".join(words[max(5, len(words) // 2):]) or "more content"
+    anchors = _link_specs(doc_id, n_docs, seed)
+
+    head = [f"<title>{title}</title>",
+            f'<meta name="description" content="Synthetic page {doc_id} on {hname}">']
+    if doc_id % 3 == 0:
+        head.append(f'<meta property="og:title" content="OG {doc_id}">')
+        head.append(f'<meta property="og:image" content="/img/{doc_id}.png">')
+        head.append(f'<meta name="twitter:title" content="TW {doc_id}">')
+    if doc_id % 5 == 0:
+        head.append(f'<link rel="canonical" href="{page_path(doc_id, seed)}">')
+        head.append('<link rel="icon" href="/favicon.ico">')
+
+    nav_links = "".join(
+        f'<a href="/{s}/index">{s}</a> ' for s in SECTIONS[: 1 + doc_id % 3]
+    )
+    body = [
+        f"<nav>{nav_links}</nav>",
+        '<div class="cookie-consent">We use cookies</div>',
+        "<main>",
+        f"<h1>{title}</h1>",
+        f"<p>{para1}</p>",
+    ]
+    # inline links woven into a paragraph
+    inline = " ".join(f'<a href="{a}">link{i}</a>' for i, a in enumerate(anchors[:4]))
+    body.append(f"<p>{para2} {inline}</p>")
+    # remaining links as a list
+    if len(anchors) > 4:
+        body.append("<ul>" + "".join(
+            f'<li><a href="{a}">item{i}</a></li>'
+            for i, a in enumerate(anchors[4:])) + "</ul>")
+    if doc_id % 7 == 0:
+        # pathological: control chars + zero-width unicode (markdown.go:166-199)
+        body.append("<p>patho\x01logical​ zero‌width text</p>")
+    if doc_id % 11 == 0:
+        # duplicate image + date lines (markdown.go:79-143)
+        body.append(f'<p><img src="https://{hname}/i/{doc_id}.png" alt="im"></p>')
+        body.append(f'<p><img src="https://{hname}/i/{doc_id}.png" alt="im"></p>')
+        body.append("<p>Sep 12, 2024</p><p>Sep 12, 2024</p>")
+    if doc_id % 13 == 0:
+        body.append('<div id="sidebar-related">related junk</div>')
+    body.append("</main>")
+    body.append('<footer class="share-bar">share</footer>')
+    if doc_id % 10 == 0:
+        body.append("<script>var tracker = 1;</script>")
+
+    return ("<html><head>" + "".join(head) + "</head><body>"
+            + "".join(body) + "</body></html>")
+
+
+def synth_page(doc_id: int, text: str, lang: str, n_docs: int,
+               seed: int = 42) -> dict:
+    html = synth_html(doc_id, text, n_docs, seed)
+    return {
+        "url": page_url(doc_id, seed),
+        "warc_ts": BASE_TS + timedelta(seconds=int(doc_id)),
+        "html": html.encode("utf-8"),
+        "text": H.extract_text(html),
+        "lang": lang or "en",
+    }
+
+
+def gen_pages_df(spark, sf_dir: str, seed: int = 42,
+                 limit: "int | None" = None, replicate: int = 1,
+                 partitions: "int | None" = None):
+    """Distributed generation: documents -> pages via mapInPandas.
+    ``n_pages`` is the one driver-side scalar (a count), everything
+    else is per-row pure functions — the generator itself scales.
+
+    ``replicate``: pages per document (page_id = doc_id * R + j), used
+    to grow the bench corpus beyond the documents table (FIXTURES.md:
+    bench ~50k+ pages). Replica texts get a distinct suffix so every
+    page's golden bytes stay unique.
+    """
+    from supacrawler_spark.schemas import PAGES_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang")
+    if limit is not None:
+        docs = docs.filter(f"doc_id < {int(limit)}")
+    n_pages = docs.count() * replicate
+    if partitions:
+        docs = docs.repartition(partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for j in range(replicate):
+                    pid = int(r.doc_id) * replicate + j
+                    txt = r.text if replicate == 1 else (
+                        f"{r.text} replica {j}")
+                    rows.append(synth_page(pid, txt, r.lang, n_pages, seed))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, schema=PAGES_SCHEMA), n_pages
+
+
+def gen_seeds(n_docs: int, k: int = 3, seed: int = 42,
+              include_dangling: bool = False):
+    """Seed list: (url, seed_rank). Picks docs spread across hosts."""
+    seeds = []
+    for r in range(k):
+        doc = (r * (HOST_GROUPS + 1)) % max(1, n_docs)
+        seeds.append((page_url(doc, seed), r))
+    if include_dangling:
+        seeds.append(("https://h1.example.org/void/seedmiss", k))
+    return seeds
+
+
+def gen_robots_df(spark, disallow_sections=("product",)):
+    """Non-trivial robots rules for robots-specific tests: disallow a
+    path family on every host (default fixture for trace parity is
+    allow-all = None)."""
+    from supacrawler_spark.schemas import ROBOTS_SCHEMA
+    rows = []
+    for hid in range(n_hosts()):
+        rows.append((host_name(hid),
+                     [],
+                     ["/%s/" % s for s in disallow_sections],
+                     500))
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
+def gen_politeness_df(spark, max_parallel: int = 10, delay_ms: int = 500,
+                      hot_budget: "int | None" = None):
+    """Per-host budgets; defaults = reference constants (colly
+    LimitRule Parallelism=10, RandomDelay 500ms, mapper/service.go:93)."""
+    from supacrawler_spark.schemas import POLITENESS_SCHEMA
+    rows = []
+    for hid in range(n_hosts()):
+        mp = hot_budget if (hid == 0 and hot_budget is not None) else max_parallel
+        rows.append((host_name(hid), mp, delay_ms))
+    return spark.createDataFrame(rows, POLITENESS_SCHEMA)

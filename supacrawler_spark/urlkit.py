@@ -25,7 +25,7 @@ from __future__ import annotations
 import hashlib
 import re
 from functools import lru_cache
-from urllib.parse import urlsplit, urlunsplit
+from urllib.parse import urljoin, urlsplit, urlunsplit
 
 __all__ = [
     "clean_url",
@@ -237,6 +237,22 @@ def robots_allowed(
         elif p and path.startswith(p) and len(p) == best_len:
             pass  # tie -> allow wins (already set)
     return allowed
+
+
+def discover_link(page_url: str, href: str) -> str:
+    """Discovery-path absolutization + normalization for one anchor:
+    colly ``e.Request.AbsoluteURL(href)`` (RFC 3986 resolution, net/url
+    ResolveReference == urljoin) followed by ``normalize``
+    (mapper/service.go:128-129). Returns "" for empty/unresolvable
+    hrefs (colly returns "" and the mapper skips them)."""
+    href = href.strip()
+    if not href:
+        return ""
+    try:
+        link = urljoin(page_url, href)
+    except ValueError:
+        return ""
+    return canonicalize(link)
 
 
 def url_hash64(u: str) -> int:

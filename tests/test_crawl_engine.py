@@ -1,0 +1,142 @@
+"""Trace-equivalence suite: Spark engine vs the deterministic oracle
+(SURVEY.md §5.2.1). Asserts, per parameter combination:
+
+- ordered crawl trace (crawl_ord, iter, depth, url, status) — exact;
+- URL-seen set — exact;
+- per-url markdown AND text — byte-identical (input_hint invariant);
+- result links arrays + statistics — exact.
+"""
+
+import pytest
+
+from supacrawler_spark.oracle import crawl_oracle
+from supacrawler_spark.params import CrawlParams
+from supacrawler_spark.plans import run_crawl
+from supacrawler_spark.sources import gen_seeds
+from supacrawler_spark.sources.synth import host_name, n_hosts
+
+
+def _assert_equivalent(run, orc):
+    etrace = [(r.crawl_ord, r.iter, r.depth, r.url, r.status_code)
+              for r in run.trace.collect()]
+    assert etrace == orc.trace, (
+        f"trace diverges: engine {len(etrace)} rows, oracle "
+        f"{len(orc.trace)} rows; first diff: "
+        f"{next(((a, b) for a, b in zip(etrace, orc.trace) if a != b), None)}")
+    eseen = {r.url for r in run.seen.collect()}
+    assert eseen == orc.seen
+    epages = {r.url: r for r in run.results.collect()}
+    assert set(epages) == set(orc.pages)
+    for u, rec in orc.pages.items():
+        e = epages[u]
+        assert e.markdown == rec["markdown"], f"markdown bytes differ for {u}"
+        assert e.text == rec["text"], f"text bytes differ for {u}"
+        assert list(e.links or []) == rec["links"], f"links differ for {u}"
+        assert e.title == rec["title"]
+    eerrs = {r.url: r.error for r in run.errors.collect()}
+    assert eerrs == orc.errors
+    for k in ("total_pages", "successful_pages", "failed_pages"):
+        assert run.stats[k] == orc.stats[k]
+
+
+def _run_case(spark, web, params, politeness=None, robots=False,
+              dangling=False, **kw):
+    from supacrawler_spark.sources import gen_politeness_df, gen_robots_df
+
+    pages_df, pages_local, n_docs = web
+    seeds = gen_seeds(n_docs, k=2, include_dangling=dangling)
+    pol_df = pol_dict = None
+    if politeness:
+        pol_df = gen_politeness_df(spark, max_parallel=politeness)
+        pol_dict = {host_name(h): politeness for h in range(n_hosts())}
+    rob_df = rob_rules = None
+    if robots:
+        rob_df = gen_robots_df(spark)
+        rob_rules = {host_name(h): {"allow": [], "disallow": ["/product/"]}
+                     for h in range(n_hosts())}
+    orc = crawl_oracle(pages_local, seeds, params, politeness=pol_dict,
+                       robots_rules=rob_rules)
+    run = run_crawl(spark, pages_df, seeds, params, politeness_df=pol_df,
+                    robots_df=rob_df, **kw)
+    _assert_equivalent(run, orc)
+    return run, orc
+
+
+def test_default_single_wave(spark, web):
+    # depth default 1: seed + its links, no second-level expansion
+    run, orc = _run_case(spark, web, CrawlParams(depth=1, link_limit=15))
+    assert max(r[2] for r in orc.trace) <= 1
+
+
+def test_depth2_budget(spark, web):
+    _run_case(spark, web, CrawlParams(depth=2, link_limit=40))
+
+
+def test_patterns(spark, web):
+    run, orc = _run_case(
+        spark, web, CrawlParams(depth=3, patterns=("/blog/*", "/docs/*"),
+                                link_limit=30))
+    # every non-seed fetched url must match a pattern
+    for _, _, depth, url, _ in orc.trace:
+        if depth > 0:
+            assert "/blog" in url or "/docs" in url
+
+
+def test_subdomains(spark, web):
+    _run_case(spark, web,
+              CrawlParams(depth=2, include_subdomains=True, link_limit=30))
+
+
+def test_tight_politeness_defers(spark, web):
+    run, orc = _run_case(spark, web, CrawlParams(depth=2, link_limit=25),
+                         politeness=2)
+    # with per-host budget 2 the same crawl takes more waves
+    assert run.stats["waves"] >= 2
+
+
+def test_robots(spark, web):
+    run, orc = _run_case(spark, web, CrawlParams(depth=2, link_limit=30),
+                         robots=True)
+    # hosts covered by the robots table never fetch /product/; www-
+    # variant hosts are NOT covered (rules are per exact host, like
+    # real robots.txt which is per-origin) and may pass
+    from supacrawler_spark import urlkit as U
+    from supacrawler_spark.sources.synth import host_name, n_hosts
+    covered = {host_name(h) for h in range(n_hosts())}
+    seed_urls = {s[0] for s in gen_seeds(web[2], k=2)}
+    for u in orc.seen:
+        if U.extract_host(u) in covered and u not in seed_urls:
+            assert "/product/" not in u
+
+
+def test_robots_fresh_fetch_gate(spark, web):
+    _run_case(spark, web, CrawlParams(depth=2, link_limit=30, fresh=True),
+              robots=True)
+
+
+def test_link_limit_one(spark, web):
+    run, orc = _run_case(spark, web, CrawlParams(depth=2, link_limit=1))
+    assert orc.stats["successful_pages"] <= 1
+
+
+def test_dangling_seed_error_path(spark, web):
+    run, orc = _run_case(spark, web, CrawlParams(depth=2, link_limit=10),
+                         dangling=True)
+    assert any(e == "filtered out low-quality content"
+               for e in orc.errors.values())
+
+
+def test_bloom_off_equals_on(spark, web):
+    pages_df, pages_local, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=40)
+    run_on = run_crawl(spark, pages_df, seeds, params, use_bloom=True)
+    run_off = run_crawl(spark, pages_df, seeds, params, use_bloom=False)
+    t_on = [tuple(r) for r in run_on.trace.collect()]
+    t_off = [tuple(r) for r in run_off.trace.collect()]
+    assert t_on == t_off
+
+
+def test_unlimited_terminates_and_matches(spark, web):
+    run, orc = _run_case(spark, web, CrawlParams(depth=3))
+    assert run.stats["waves"] == len(orc.waves)
