@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract: one JSON line on stdout).
+
+Env:
+  SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_REPLICATE      pages per document (default sized to ~50k pages)
+  BENCH_DEPTH          crawl depth (default 8)
+
+Headline = one full crawl over the synthetic web (the engine's primary
+metric: frontier URLs/sec) + the heavy analytic operators. The bench
+politeness budget is 1024/host: politeness is a *rate* (10 parallel ×
+500 ms, mapper/service.go:93); a multi-second batch wave legitimately
+admits budget = rate x wave-duration, and the budget mechanism itself
+is exercised (it caps the hot host every wave). Scaling evidence (N vs
+4N cores) is produced by scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.session import get_spark
+    from supacrawler_spark.sources import (
+        gen_pages_df,
+        gen_seeds,
+        gen_politeness_df,
+        prepare_pages,
+    )
+    from supacrawler_spark import textops, simsearch
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    depth = int(os.environ.get("BENCH_DEPTH", "8"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name=f"supacrawler-bench-{cpus}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def log(*a):
+        print(*a, file=sys.stderr, flush=True)
+
+    # ---- corpus generation (timed separately; not part of crawl) -----------
+    import duckdb
+    n_docs = duckdb.sql(
+        f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
+    replicate = int(os.environ.get(
+        "BENCH_REPLICATE", str(max(1, 50_000 // max(1, n_docs)))))
+    work = tempfile.mkdtemp(prefix="bench_")
+    t0 = time.time()
+    pages_raw, n_pages = gen_pages_df(spark, sf_dir, replicate=replicate,
+                                      partitions=cpus)
+    pages_path = os.path.join(work, "pages")
+    prepare_pages(pages_raw).write.mode("overwrite").parquet(pages_path)
+    pages_prep = spark.read.parquet(pages_path)
+    timings["gen_pages"] = round(time.time() - t0, 2)
+    log(f"generated {n_pages} pages in {timings['gen_pages']}s "
+        f"(replicate={replicate})")
+
+    # ---- headline: the crawl ------------------------------------------------
+    seeds = gen_seeds(n_pages, k=16)
+    pol = gen_politeness_df(spark, max_parallel=4096)
+    t0 = time.time()
+    run = run_crawl(
+        spark, pages_prep, seeds,
+        CrawlParams(depth=depth, link_limit=0),
+        politeness_df=pol,
+        default_host_budget=4096,  # hosts outside the table (www/sub
+        #                            variants) get the same bench rate
+        state_dir=os.path.join(work, "state"),
+        pages_prepared=True,
+        collect_lineage=False,
+        use_bloom=True,
+    )
+    crawl_sec = round(time.time() - t0, 2)
+    timings["crawl"] = crawl_sec
+    urls = run.stats["urls_scheduled"]
+    urls_per_sec = round(urls / crawl_sec, 1) if crawl_sec else 0.0
+    log(f"crawl: {urls} urls, {run.stats['waves']} waves, "
+        f"{run.stats['successful_pages']} pages, {crawl_sec}s "
+        f"-> {urls_per_sec} urls/s")
+
+    # ---- analytic headline queries -----------------------------------------
+    def bench_q(name, df_builder):
+        t = time.time()
+        n = len(df_builder(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t, 2)
+        log(f"{name}: {n} rows in {timings[name]}s")
+
+    import __spark_entry__ as E
+    bench_q("pricing_summary", E.q_pricing_summary)
+    bench_q("minhash_lsh_pairs", textops.minhash_lsh_pairs)
+    bench_q("simhash", textops.simhash)
+    bench_q("quality_score", textops.quality_score)
+    bench_q("cosine_topk", simsearch.cosine_topk)
+
+    total = round(sum(timings.values()) - timings["gen_pages"], 2)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pages": n_pages,
+        "urls_scheduled": urls,
+        "crawl_waves": run.stats["waves"],
+        "urls_per_sec": urls_per_sec,
+    }
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Two-parallelism-level scaling evidence (BASELINE.md plan).
+
+Runs bench.py as a subprocess at N=local[8] and 4N=local[32] on the
+same input/seed, discards a JVM warm-up run, reports median-of-R
+throughput at both levels plus scaling efficiency
+eff = (thr_4N / thr_N) / 4 — the sandbox realization of the north
+rule's "N vs 4N executors, efficiency >= 0.8".
+
+Usage: python scripts/bench_scaling.py [runs=3] [sf_dir]
+Writes BENCH.md and prints one JSON line.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600)
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    results = {8: [], 32: []}
+    # JVM warm-up (discarded)
+    run_bench(32, sf_dir)
+    for i in range(runs):
+        for cpus in (8, 32):
+            r = run_bench(cpus, sf_dir)
+            results[cpus].append(r)
+            print(f"run {i} cpus={cpus}: crawl={r['queries']['crawl']}s "
+                  f"urls/s={r['urls_per_sec']}", file=sys.stderr, flush=True)
+
+    def med(cpus, key):
+        return statistics.median(x[key] for x in results[cpus])
+
+    thr8 = med(8, "urls_per_sec")
+    thr32 = med(32, "urls_per_sec")
+    eff = round((thr32 / thr8) / 4, 3)
+    crawl8 = med(8, "queries_crawl") if False else statistics.median(
+        x["queries"]["crawl"] for x in results[8])
+    crawl32 = statistics.median(x["queries"]["crawl"] for x in results[32])
+    summary = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": eff,
+        "unit": "ratio",
+        "urls_per_sec_local8": thr8,
+        "urls_per_sec_local32": thr32,
+        "crawl_sec_local8": crawl8,
+        "crawl_sec_local32": crawl32,
+        "runs": runs,
+        "sf_dir": sf_dir,
+        "urls": results[32][-1]["urls_scheduled"],
+        "pages": results[32][-1]["pages"],
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — measured numbers (this sandbox, 32-core box)
+
+## Scaling (north rule: N -> 4N efficiency >= 0.8)
+
+Same job, same seeded input ({summary['pages']} synthetic pages,
+{summary['urls']} URLs crawled), two parallelism levels, median of
+{runs} runs each (JVM warm-up run discarded):
+
+| level | cores | crawl wall (s) | URLs/sec |
+|---|---|---|---|
+| N  | local[8]  | {crawl8} | {thr8} |
+| 4N | local[32] | {crawl32} | {thr32} |
+
+**Scaling efficiency eff = (thr_4N / thr_N) / 4 = {eff}**
+
+Caveats: single-JVM local mode shares one driver; per-wave fixed
+scheduling overhead (~3s: ~10 Spark jobs/wave for politeness ranking,
+dedup, cap, commits) does not scale with cores and dominates small
+waves — efficiency rises with corpus size as waves get larger. The
+politeness budget (4096/host/wave here) is the semantic throughput
+bound per wave; see bench.py docstring.
+
+## Per-query timings (local[32], latest run)
+
+```json
+{json.dumps(results[32][-1], indent=2)}
+```
+""")
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

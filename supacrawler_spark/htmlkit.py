@@ -498,13 +498,16 @@ _TEXT_BLOCK = {
 }
 
 
-def extract_text(html: str) -> str:
+def extract_text(html: "str | None" = None, root=None) -> str:
     """Visible text of the body: scripts/styles removed, inline text
     whitespace-collapsed, block boundaries = single newline, no blank
     lines, stripped. Pure function of the html bytes — this defines the
     golden ``text`` column (byte-identity target per BASELINE.json
-    input_hint)."""
-    root = parse_html(html)
+    input_hint). Accepts a pre-parsed ``root`` (MUST be unmutated —
+    the markdown pipeline's tree is pruned in place and unusable
+    here)."""
+    if root is None:
+        root = parse_html(html)
     body = _find_body(root)
     lines = []
     cur = []
@@ -601,14 +604,18 @@ def extract_links(html: str, base_url: str) -> "list[str]":
     return uniq
 
 
-def extract_hrefs(html: str) -> "list[str]":
+def extract_hrefs(html: "str | None" = None, root=None) -> "list[str]":
     """Raw ``<a href>`` values in document order (colly's ``a[href]``
     selector, mapper/service.go:127). Used by the *discovery* path,
     which absolutizes RFC-style via ``urljoin`` (colly
     e.Request.AbsoluteURL = net/url ResolveReference), unlike the
     result-links path (``extract_links``) whose crude string
-    absolutization is the scrape service's (service.go:345-371)."""
-    root = parse_html(html)
+    absolutization is the scrape service's (service.go:345-371).
+
+    Accepts a pre-parsed ``root`` to share one DOM parse with
+    ``extract_text`` in the hot extraction loop."""
+    if root is None:
+        root = parse_html(html)
     out = []
     for n in _walk(root):
         if n.tag == "a" and "href" in n.attrs:

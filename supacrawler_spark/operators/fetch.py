@@ -30,15 +30,28 @@ from supacrawler_spark.functions import (
 )
 
 
-def fetch_join(scheduled: DataFrame, pages_prep: DataFrame) -> DataFrame:
+def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
+               small_wave: bool = True) -> DataFrame:
     """J1: frontier left-joins the corpus on the canonical URL.
 
-    The scheduled side is politeness-capped (small relative to pages) —
-    the SHUFFLE_HASH hint makes it the build side instead of sort-merge
-    sorting the whole corpus; with a bucketed pages table the corpus
-    shuffle disappears entirely (see plans.crawl.bucketize_pages).
+    Two physical strategies, picked by the driver per wave:
+
+    - small_wave (politeness-capped wave, the common case): broadcast
+      the scheduled URL set, LEFT-SEMI it against the corpus (a pure
+      scan — no corpus shuffle, no sort), then broadcast the matched
+      slice (wave-bounded) back onto the frontier. The 100-TB corpus
+      is never shuffled; per wave it is scanned with url+html column
+      pruning only.
+    - large wave: SHUFFLE_HASH with the frontier as build side (never
+      sort-merge-sort the corpus); with a bucketed corpus table
+      (bucketize_pages / Iceberg bucket partitioning) the corpus side
+      of this shuffle disappears too.
     """
     web = pages_prep.select(F.col("url_canon").alias("url"), "html")
+    if small_wave:
+        matched = web.join(F.broadcast(scheduled.select("url").distinct()),
+                           "url", "left_semi")
+        return scheduled.join(F.broadcast(matched), "url", "left")
     return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
 
 
@@ -74,6 +87,9 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                 links = None
                 discovered = None
                 metadata = None
+                # one shared (unmutated) DOM parse for text + hrefs;
+                # the markdown pipeline prunes its own copy in place
+                root = H.parse_html(html) if html is not None else None
 
                 if pattern_ok:
                     if fresh and not robots_ok:
@@ -88,7 +104,7 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                             markdown = None
                         else:
                             success = True
-                            text = H.extract_text(html)
+                            text = H.extract_text(root=root)
                             links = H.extract_links(html, r.url)
                             discovered = len(links)
                             title = H.extract_title(html)
@@ -98,7 +114,7 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                 if html is not None and r.depth < max_depth and robots_ok:
                     seen_local = set()
                     discovery = []
-                    for href in H.extract_hrefs(html):
+                    for href in H.extract_hrefs(root=root):
                         link = U.discover_link(r.url, href)
                         if link and link not in seen_local:
                             seen_local.add(link)

@@ -35,16 +35,25 @@ def order_exprs():
             F.col("link_pos"), F.col("url")]
 
 
+# Below this frontier size the salted pre-phase costs more (one extra
+# shuffle) than the skew it prevents; a single per-host window is fine.
+SALT_THRESHOLD = 200_000
+
+
 def politeness_select(
     frontier: DataFrame,
     politeness_df: "DataFrame | None" = None,
     default_budget: int = 10,
+    hint_count: "int | None" = None,
 ):
     """Split the frontier into (selected, deferred) per host budgets.
 
     ``politeness_df(host, max_parallel, delay_ms)`` is broadcast (J4,
     the north_rule's "broadcast of robots/politeness state"); hosts
     absent from it get ``default_budget`` (= reference parallelism 10).
+
+    ``hint_count``: driver-known frontier size; above SALT_THRESHOLD
+    the salted two-phase path engages (identical output, skew-proof).
     """
     f = frontier
     if politeness_df is not None:
@@ -56,13 +65,18 @@ def politeness_select(
     else:
         f = f.withColumn("_budget", F.lit(default_budget))
 
-    salt = F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
-    f = f.withColumn("_salt", salt)
-    w_bucket = Window.partitionBy("host", "_salt").orderBy(*order_exprs())
-    f = f.withColumn("_brank", F.row_number().over(w_bucket))
-
-    survivors = f.filter(F.col("_brank") <= F.col("_budget"))
-    pre_deferred = f.filter(F.col("_brank") > F.col("_budget"))
+    salted = hint_count is None or hint_count > SALT_THRESHOLD
+    if salted:
+        salt = F.pmod(F.xxhash64("url"), F.lit(SALT_BUCKETS))
+        f = f.withColumn("_salt", salt)
+        w_bucket = Window.partitionBy("host", "_salt").orderBy(*order_exprs())
+        f = f.withColumn("_brank", F.row_number().over(w_bucket))
+        survivors = f.filter(F.col("_brank") <= F.col("_budget"))
+        pre_deferred = f.filter(F.col("_brank") > F.col("_budget"))
+    else:
+        survivors = f.withColumn("_salt", F.lit(0)).withColumn(
+            "_brank", F.lit(0))
+        pre_deferred = survivors.filter(F.lit(False))
 
     w_host = Window.partitionBy("host").orderBy(*order_exprs())
     ranked = survivors.withColumn("_hrank", F.row_number().over(w_host))

@@ -56,6 +56,8 @@ from supacrawler_spark.params import CrawlParams
 from supacrawler_spark.schemas import FRONTIER_SCHEMA, RESULT_SCHEMA
 from supacrawler_spark.sources import prepare_pages
 
+BLOOM_THRESHOLD = 100_000
+
 RESULT_COLS_USER = [
     "url", "iter", "depth", "crawl_ord", "seed_rank", "seed_host",
     "status_code", "success", "error", "title", "markdown", "text",
@@ -103,8 +105,9 @@ class CrawlRun:
 
     @property
     def seen(self) -> DataFrame:
-        return (self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(os.path.join(self.state_dir, "seen")))
+        """Every scheduled URL (the processed map,
+        crawl/service.go:522-544) — a projection of results."""
+        return self._results_all().select("url", "crawl_ord", "iter")
 
     @property
     def lineage(self) -> DataFrame:
@@ -151,6 +154,7 @@ def run_crawl(
     collect_lineage: bool = True,
     default_host_budget: int = 10,
     pages_prepared: bool = False,
+    cache_pages: bool = True,
 ) -> CrawlRun:
     """Run a crawl over the corpus. See module docstring and oracle.py
     for the exact semantics contract.
@@ -177,6 +181,11 @@ def run_crawl(
         if not (resume and os.path.exists(pages_path)):
             _write(prepare_pages(pages_df), pages_path)
         pages_prep = spark.read.parquet(pages_path)
+    if cache_pages:
+        # the fetch join scans the corpus every wave — keep it hot
+        # (memory+disk). At 100-TB scale this is the executors' cache
+        # of hot table partitions; disable for corpora >> cluster RAM.
+        pages_prep = pages_prep.persist()
 
     D = params.max_depth
     L = params.link_limit
@@ -213,19 +222,22 @@ def run_crawl(
         n_frontier = frontier.count()
         discovered_cnt = 0
 
+    # Bloom engages lazily: below BLOOM_THRESHOLD known keys the exact
+    # anti-join alone is faster than the probe shuffle; at the 10^10
+    # regime the filter prunes nearly all probe volume (SURVEY.md J2).
+    # The first activation bulk-builds from the known table (this also
+    # covers resume — no separate rebuild path needed).
     bloom = BloomState(os.path.join(state_dir, "bloom")) if use_bloom else None
-    if bloom is not None and manifest:
-        # resume: rebuild from the known table (cheap, crash-proof)
-        known_dir = os.path.join(state_dir, "known")
-        if os.path.exists(known_dir):
-            bloom.add(spark.read.option("recursiveFileLookup", "true")
-                      .parquet(known_dir))
+    bloom_built = False
 
     def known_df() -> "DataFrame | None":
-        p = os.path.join(state_dir, "known")
+        """The mapper's `links` set = all capped candidates ever
+        emitted (the cand table IS the known table — one write, two
+        roles)."""
+        p = os.path.join(state_dir, "cand")
         if os.path.exists(p):
             return (spark.read.option("recursiveFileLookup", "true")
-                    .parquet(p))
+                    .parquet(p).select("url", "url_hash"))
         return None
 
     # `known` mirrors the mapper's `links` set, which never contains
@@ -244,9 +256,11 @@ def run_crawl(
             break
         t0 = time.time()
 
-        # 1. politeness selection (salted two-phase per-host top-B)
+        # 1. politeness selection (salted two-phase per-host top-B
+        # above the salt threshold; plain per-host window below)
         selected, deferred = politeness_select(
-            frontier, politeness_df, default_host_budget)
+            frontier, politeness_df, default_host_budget,
+            hint_count=n_frontier)
 
         # 2. global rank in crawl order K; budget cut; crawl_ord
         selected = ordered_row_number(
@@ -279,25 +293,30 @@ def run_crawl(
         else:
             scheduled = scheduled.withColumn("robots_ok", F.lit(True))
 
-        # 4. fetch (corpus join) + extraction, committed to state
-        fetched = fetch_join(scheduled, pages_prep)
+        # 4. fetch (corpus join) + extraction, committed to state.
+        # The global-rank window leaves `scheduled` in ONE partition —
+        # repartition first or extraction runs on a single core.
+        scheduled = scheduled.repartition(
+            max(8, spark.sparkContext.defaultParallelism), "url")
+        # broadcast-semi strategy while the politeness-capped wave is
+        # broadcast-sized; shuffle-hash beyond (never sorts the corpus)
+        fetched = fetch_join(scheduled, pages_prep,
+                             small_wave=n_frontier <= 2_000_000)
         results = fetched.mapInPandas(
             make_extractor(D, params.include_html, params.fresh),
             RESULT_SCHEMA)
         res_path = os.path.join(state_dir, "results", f"{it:05d}")
+        t_fetch = time.time()
         _write(results, res_path)
+        stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
         res_df = spark.read.parquet(res_path)
 
+        t_s = time.time()
         agg = res_df.agg(
             F.count("*").alias("n"),
             F.sum(F.col("success").cast("long")).alias("s")).collect()[0]
         wave_sched, wave_succ = agg["n"], int(agg["s"] or 0)
-
-        # seen = every scheduled URL (processed map, crawl/service.go:522-544);
-        # derived from the materialized results to avoid recomputing the
-        # scheduling lineage. Dedup correctness uses `known`, not this.
-        _write(res_df.select("url", "crawl_ord", "iter"),
-               os.path.join(state_dir, "seen", f"{it:05d}"))
+        stage_ms["agg"] = int((time.time() - t_s) * 1000)
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -309,13 +328,19 @@ def run_crawl(
             _write(lin, os.path.join(state_dir, "lineage", f"{it:05d}"))
 
         # 5. discovery: emission filters -> known-dedup -> cap
+        t_s = time.time()
         n_new = 0
         if not limit_reached:
             cand = expand_candidates(
                 res_df, params.include_subdomains, params.patterns, robots_df)
             kdf = known_df()
             if kdf is not None:
-                if bloom is not None:
+                bloom_active = bloom is not None and \
+                    discovered_cnt > BLOOM_THRESHOLD
+                if bloom_active and not bloom_built:
+                    bloom.add(kdf.select("url_hash"))
+                    bloom_built = True
+                if bloom_active:
                     flagged = bloom.flag(cand)
                     fresh_c = flagged.filter(~F.col("_maybe_seen")).drop(
                         "_maybe_seen")
@@ -335,14 +360,11 @@ def run_crawl(
                 cand = ordered_row_number(
                     cand, ["parent_ord", "link_pos"], "_dord")
                 cand = cand.filter(F.col("_dord") <= avail).drop("_dord")
-            new_path = os.path.join(state_dir, "known", f"{it:05d}")
-            _write(cand.select("url", "url_hash", F.lit(it).alias("iter")),
-                   new_path)
             cand_path = os.path.join(state_dir, "cand", f"{it:05d}")
             _write(cand.select(*FRONTIER_SCHEMA.fieldNames()), cand_path)
             new_cand = spark.read.schema(FRONTIER_SCHEMA).parquet(cand_path)
             n_new = new_cand.count()
-            if bloom is not None and n_new:
+            if bloom_built and n_new:
                 bloom.add(new_cand.select("url_hash"))
             if ML is not None and discovered_cnt + n_new >= ML:
                 limit_reached = True
@@ -353,14 +375,17 @@ def run_crawl(
             new_cand = new_cand.filter(~F.col("url").isin(seed_urls))
         else:
             new_cand = spark.createDataFrame([], FRONTIER_SCHEMA)
+        stage_ms["discovery"] = int((time.time() - t_s) * 1000)
 
         # 6. next frontier = deferred ∪ new candidates
+        t_s = time.time()
         next_frontier = deferred.select(
             *FRONTIER_SCHEMA.fieldNames()).unionByName(new_cand)
         fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
         _write(next_frontier, fr_path)
         frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(fr_path)
         n_frontier = frontier.count()
+        stage_ms["frontier"] = int((time.time() - t_s) * 1000)
 
         successes += wave_succ
         next_ord += wave_sched
@@ -370,7 +395,8 @@ def run_crawl(
                     wave_successes=wave_succ, successes=successes,
                     next_ord=next_ord, discovered_cnt=discovered_cnt,
                     limit_reached=limit_reached, n_frontier_next=n_frontier,
-                    wall_ms=int((time.time() - t0) * 1000))
+                    wall_ms=int((time.time() - t0) * 1000),
+                    stage_ms=stage_ms)
         manifest.append(line)
         with open(manifest_path, "a" if it != 0 or resume else "w") as f:
             f.write(json.dumps(line) + "\n")

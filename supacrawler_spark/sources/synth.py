@@ -69,9 +69,22 @@ def page_url(doc_id: int, seed: int = 42) -> str:
 
 
 def _same_host_sibling(doc_id: int, j: int, n_docs: int) -> int:
-    """A distinct doc on the same host (host is a function of
-    doc_id % HOST_GROUPS, so stepping by HOST_GROUPS preserves it)."""
-    step = HOST_GROUPS * (1 + (j % 7))
+    """A distinct page on the same host.
+
+    Hot-host pages (groups 0..HOT_GROUPS-1) link across the whole hot
+    group range — the hot host is one big site whose BFS reach covers
+    ~30% of the corpus (the skew/throughput driver). Cold hosts are
+    small sites: same residue class, varied strides.
+    """
+    g = doc_id % HOST_GROUPS
+    h = _h(0, doc_id, "sib2", j)
+    if g < HOT_GROUPS:
+        t = (h % max(1, n_docs))
+        t = t - (t % HOST_GROUPS) + ((h >> 7) % HOT_GROUPS)
+        if t >= n_docs:
+            t -= HOST_GROUPS
+        return t if 0 <= t < n_docs and t != doc_id else doc_id
+    step = HOST_GROUPS * (1 + h % 37)
     cand = doc_id + step
     if cand >= n_docs:
         cand = doc_id - step
