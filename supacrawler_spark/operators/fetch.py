@@ -69,17 +69,26 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
       robots allows the page (mapper OnRequest 175-195).
     """
 
+    out_cols = [f.name for f in RESULT_SCHEMA.fields]
+
     def extract(batches):
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                html_b = r.html
+            # column-wise input access + dict-of-lists output: row-dict
+            # marshalling dominated the Arrow batch cost before
+            cols = {c: pdf[c].tolist() for c in
+                    ("url", "iter", "depth", "crawl_ord", "seed_rank",
+                     "seed_host", "parent_ord", "pattern_ok", "robots_ok",
+                     "html")}
+            out = {c: [] for c in out_cols}
+            for i in range(len(pdf)):
+                html_b = cols["html"][i]
                 html = (bytes(html_b).decode("utf-8", "replace")
                         if html_b is not None else None)
                 status = 200 if html is not None else 404
-                is_seed = r.parent_ord == -1
-                pattern_ok = bool(r.pattern_ok) if is_seed else True
-                robots_ok = bool(r.robots_ok)
+                is_seed = cols["parent_ord"][i] == -1
+                pattern_ok = bool(cols["pattern_ok"][i]) if is_seed else True
+                robots_ok = bool(cols["robots_ok"][i])
+                r_url = cols["url"][i]
 
                 success = False
                 error = None
@@ -105,17 +114,18 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                         else:
                             success = True
                             text = H.extract_text(root=root)
-                            links = H.extract_links(html, r.url)
+                            links = H.extract_links(html, r_url)
                             discovered = len(links)
                             title = H.extract_title(html)
-                            metadata = H.extract_metadata(html, r.url, 200)
+                            metadata = H.extract_metadata(html, r_url, 200)
 
                 discovery = None
-                if html is not None and r.depth < max_depth and robots_ok:
+                if (html is not None and cols["depth"][i] < max_depth
+                        and robots_ok):
                     seen_local = set()
                     discovery = []
                     for href in H.extract_hrefs(root=root):
-                        link = U.discover_link(r.url, href)
+                        link = U.discover_link(r_url, href)
                         if link and link not in seen_local:
                             seen_local.add(link)
                             discovery.append(link)
@@ -124,18 +134,24 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                     # hrefs on one page collapse to their first pos,
                     # exactly as the mapper's `links` set does.
 
-                rows.append({
-                    "url": r.url, "iter": int(r.iter), "depth": int(r.depth),
-                    "crawl_ord": int(r.crawl_ord),
-                    "seed_rank": int(r.seed_rank), "seed_host": r.seed_host,
-                    "status_code": status, "success": success, "error": error,
-                    "title": title, "markdown": markdown, "text": text,
-                    "links": links, "discovery": discovery,
-                    "discovered": discovered, "metadata": metadata,
-                    "html": html_b if include_html else None,
-                })
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+                out["url"].append(r_url)
+                out["iter"].append(int(cols["iter"][i]))
+                out["depth"].append(int(cols["depth"][i]))
+                out["crawl_ord"].append(int(cols["crawl_ord"][i]))
+                out["seed_rank"].append(int(cols["seed_rank"][i]))
+                out["seed_host"].append(cols["seed_host"][i])
+                out["status_code"].append(status)
+                out["success"].append(success)
+                out["error"].append(error)
+                out["title"].append(title)
+                out["markdown"].append(markdown)
+                out["text"].append(text)
+                out["links"].append(links)
+                out["discovery"].append(discovery)
+                out["discovered"].append(discovered)
+                out["metadata"].append(metadata)
+                out["html"].append(html_b if include_html else None)
+            yield pd.DataFrame(out, columns=out_cols)
 
     return extract
 

@@ -131,6 +131,15 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
+def _read_frontier(spark, path: str, seed_urls) -> DataFrame:
+    """Schedulable frontier view of a committed frontier file: the
+    is_new seed-pointing rows are known-set-only entries, never
+    scheduled."""
+    raw = spark.read.parquet(path)
+    return (raw.filter(~(F.col("is_new") & F.col("url").isin(seed_urls)))
+            .select(*FRONTIER_SCHEMA.fieldNames()))
+
+
 def _seed_frontier(spark, seeds) -> DataFrame:
     rows = []
     for raw_url, rank in sorted(seeds, key=lambda s: s[1]):
@@ -205,8 +214,10 @@ def run_crawl(
         discovered_cnt = last["discovered_cnt"]
         limit_reached = last["limit_reached"]
         run_id = last["run_id"]
-        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
-            os.path.join(state_dir, "frontier", f"{last['iter']:05d}"))
+        frontier = _read_frontier(
+            spark, os.path.join(state_dir, "frontier",
+                                f"{last['iter']:05d}"),
+            [U.canonical_url(u) for u, _ in seeds])
         n_frontier = last["n_frontier_next"]
     else:
         if resume is False and os.path.exists(manifest_path):
@@ -232,12 +243,16 @@ def run_crawl(
 
     def known_df() -> "DataFrame | None":
         """The mapper's `links` set = all capped candidates ever
-        emitted (the cand table IS the known table — one write, two
-        roles)."""
-        p = os.path.join(state_dir, "cand")
+        emitted. Each appears exactly once across frontier files with
+        is_new=true (deferred re-appearances are flagged false), so
+        the frontier table doubles as the known table — one write per
+        wave, two roles. Duplicates would be harmless anyway (the
+        consumer is a LEFT ANTI join)."""
+        p = os.path.join(state_dir, "frontier")
         if os.path.exists(p):
             return (spark.read.option("recursiveFileLookup", "true")
-                    .parquet(p).select("url", "url_hash"))
+                    .parquet(p).filter("is_new")
+                    .select("url", "url_hash"))
         return None
 
     # `known` mirrors the mapper's `links` set, which never contains
@@ -251,10 +266,20 @@ def run_crawl(
 
     # ---- wave loop ----------------------------------------------------------
     it = it0
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
     while n_frontier > 0 and it < params.max_waves:
         if L > 0 and successes >= L:
             break
         t0 = time.time()
+
+        # explicit shuffle-partition control per wave (north_rule):
+        # micro-waves pay per-task scheduling latency on every one of
+        # their ~10 shuffle stages — size the partition count to the
+        # wave, not the cluster. The heavy extraction stage is
+        # parallelized separately by an explicit repartition.
+        wave_shuffle = min(max(8, n_frontier // 3000), 4 * cores)
+        spark.conf.set("spark.sql.shuffle.partitions", str(wave_shuffle))
 
         # 1. politeness selection (salted two-phase per-host top-B
         # above the salt threshold; plain per-host window below)
@@ -327,7 +352,9 @@ def run_crawl(
                            "partition_id", "rows"))
             _write(lin, os.path.join(state_dir, "lineage", f"{it:05d}"))
 
-        # 5. discovery: emission filters -> known-dedup -> cap
+        # 5. discovery: emission filters -> known-dedup -> cap, fused
+        # with the frontier commit: ONE write (deferred is_new=false ∪
+        # new candidates is_new=true) + ONE count job per wave.
         t_s = time.time()
         n_new = 0
         if not limit_reached:
@@ -360,32 +387,37 @@ def run_crawl(
                 cand = ordered_row_number(
                     cand, ["parent_ord", "link_pos"], "_dord")
                 cand = cand.filter(F.col("_dord") <= avail).drop("_dord")
-            cand_path = os.path.join(state_dir, "cand", f"{it:05d}")
-            _write(cand.select(*FRONTIER_SCHEMA.fieldNames()), cand_path)
-            new_cand = spark.read.schema(FRONTIER_SCHEMA).parquet(cand_path)
-            n_new = new_cand.count()
+            new_cand = cand.select(*FRONTIER_SCHEMA.fieldNames())
+        else:
+            new_cand = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        # 6. frontier commit. Seed-pointing candidates stay in the
+        # file with is_new=true (they consumed discovery budget and
+        # must stay in `known`) but are never scheduled — the read
+        # filter drops them (the crawler's processed map,
+        # crawl/service.go:525-527).
+        next_frontier = (
+            deferred.select(*FRONTIER_SCHEMA.fieldNames())
+            .withColumn("is_new", F.lit(False))
+            .unionByName(new_cand.withColumn("is_new", F.lit(True))))
+        fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
+        _write(next_frontier, fr_path)
+        raw = spark.read.parquet(fr_path)
+        counts = raw.agg(
+            F.sum(F.col("is_new").cast("long")).alias("n_new"),
+            F.sum((~(F.col("is_new") & F.col("url").isin(seed_urls)))
+                  .cast("long")).alias("n_sched")).collect()[0]
+        n_new = int(counts["n_new"] or 0)
+        n_frontier = int(counts["n_sched"] or 0)
+        frontier = _read_frontier(spark, fr_path, seed_urls)
+        if not limit_reached:
             if bloom_built and n_new:
-                bloom.add(new_cand.select("url_hash"))
+                bloom.add(raw.filter("is_new").select("url_hash"))
             if ML is not None and discovered_cnt + n_new >= ML:
                 limit_reached = True
             discovered_cnt += n_new
-            # a discovered link equal to a seed consumed cap budget
-            # above (correct), but never re-enters the frontier (the
-            # crawler's processed map has it)
-            new_cand = new_cand.filter(~F.col("url").isin(seed_urls))
-        else:
-            new_cand = spark.createDataFrame([], FRONTIER_SCHEMA)
         stage_ms["discovery"] = int((time.time() - t_s) * 1000)
-
-        # 6. next frontier = deferred ∪ new candidates
-        t_s = time.time()
-        next_frontier = deferred.select(
-            *FRONTIER_SCHEMA.fieldNames()).unionByName(new_cand)
-        fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
-        _write(next_frontier, fr_path)
-        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(fr_path)
-        n_frontier = frontier.count()
-        stage_ms["frontier"] = int((time.time() - t_s) * 1000)
+        stage_ms["frontier"] = 0
 
         successes += wave_succ
         next_ord += wave_sched
@@ -402,6 +434,7 @@ def run_crawl(
             f.write(json.dumps(line) + "\n")
         it += 1
 
+    spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
     run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
                    manifest=manifest, link_limit=L)
     n_res = min(successes, L) if L > 0 else successes

@@ -138,6 +138,17 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42) -> str:
     hname = host_name(hid)
     title = f"Page {doc_id} — {hname}"
     words = (text or "content").split()
+    # realistic page weight: repeat the payload to ~1.5-4.3 KB of body
+    # text (Common-Crawl pages are tens of KB; the tiny documents rows
+    # alone would make extraction unrealistically cheap). Deterministic
+    # per page; repeats are suffixed so every sentence stays unique.
+    target = 1500 + (doc_id % 5) * 700
+    body_words = list(words)
+    rep = 1
+    while sum(len(w) + 1 for w in body_words) < target:
+        body_words.extend(w + str(rep) for w in words)
+        rep += 1
+    words = body_words
     para1 = " ".join(words[: max(5, len(words) // 2)]) or "content body"
     para2 = " ".join(words[max(5, len(words) // 2):]) or "more content"
     anchors = _link_specs(doc_id, n_docs, seed)

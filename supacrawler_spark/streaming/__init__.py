@@ -1,0 +1,88 @@
+"""Structured Streaming layer (SURVEY.md §2.9).
+
+The crawl itself is iterative batch — the natural Spark idiom for a
+BFS frontier, resumable by construction. The reference's streaming
+surface (the `chan *PageResult` consumed by the parse service,
+crawl/service.go:45-332) maps to a *file-source stream over the crawl
+state directory*: each committed wave's results parquet is a new
+micro-batch. Consumers get:
+
+- ``stream_results``      every page record as it is committed
+- ``stream_stats``        running crawl statistics (stateful agg)
+- ``stream_host_windows`` per-host fetch counts over warc_ts event-time
+                          windows with a watermark (late-data policy
+                          the reference lacks; SURVEY.md notes none)
+
+All sinks are driven with ``trigger(availableNow=True)`` in tests —
+the same code attaches to a live crawl for continuous consumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from supacrawler_spark.schemas import RESULT_SCHEMA
+
+
+def stream_results(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Streaming DF of crawl result rows as waves commit (the page
+    channel, crawl/service.go:334-339). One parquet dir per wave ->
+    one micro-batch per wave with maxFilesPerTrigger untuned."""
+    return (spark.readStream
+            .schema(RESULT_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(os.path.join(state_dir, "results")))
+
+
+def stream_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Running statistics (A1, crawl/service.go:701-706) as a
+    continuously-updated aggregate (complete output mode)."""
+    res = stream_results(spark, state_dir)
+    return res.agg(
+        F.count("*").alias("total_pages"),
+        F.sum(F.col("success").cast("long")).alias("successful_pages"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("failed_pages"),
+    )
+
+
+def stream_host_windows(spark: SparkSession, state_dir: str,
+                        pages_path: str,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Per-host crawl volume over event-time (warc_ts) windows.
+
+    Joins the result stream back to the corpus for warc_ts (static-
+    stream join; the static side is broadcast-friendly), watermarks
+    event time, and aggregates per (window, host). Demonstrates the
+    watermark + windowed-agg path the north_rule's streaming variant
+    needs; late rows beyond the watermark are dropped."""
+    pages = spark.read.parquet(pages_path).select(
+        F.col("url_canon").alias("url"), "warc_ts")
+    res = stream_results(spark, state_dir).select("url", "iter")
+    joined = res.join(pages, "url", "left").withColumn(
+        "host", F.parse_url(F.col("url"), F.lit("HOST")))
+    return (joined
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "host")
+            .agg(F.count("*").alias("n_fetched"))
+            .select(F.col("w.start").alias("window_start"), "host",
+                    "n_fetched"))
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str,
+                      output_mode: str = "append") -> "list":
+    """Drain a stream with the availableNow trigger into an in-memory
+    sink; returns the collected rows. Test/demo helper."""
+    name = "snk_" + os.path.basename(checkpoint).replace("-", "_")
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"select * from {name}").collect()
