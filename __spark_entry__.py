@@ -216,6 +216,65 @@ def q_domain_scope(spark, sf_dir):
         domain_scope_udf(True)(F.col("host"), seed).alias("in_scope_subs"))
 
 
+def q_content_truncate(spark, sf_dir):
+    """L5: per-page content cap + '...[TRUNCATED]' marker
+    (parse/service.go:537-540; cap scaled to the testdata)."""
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || "
+        "'...[TRUNCATED]' ELSE text END AS content")
+
+
+def q_cache_key(spark, sf_dir):
+    """X9: scrape cache-key normalization (scrape/service.go:599-614)."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", URL_SQL + " AS url")
+    return d.selectExpr(
+        "doc_id", "translate(url, ':/?&', '____') AS cache_key")
+
+
+def q_union_dedup(spark, sf_dir):
+    """§2.7 set ops: union + distinct (the seen-set union semantics)."""
+    ev = _t(spark, sf_dir, "events").selectExpr("user_id AS id")
+    oc = _t(spark, sf_dir, "orders").selectExpr("o_custkey AS id")
+    return ev.union(oc).distinct()
+
+
+def q_rollup_counts(spark, sf_dir):
+    """Grouping-sets coverage: rollup aggregation (SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n")))
+
+
+def q_json_extract(spark, sf_dir):
+    """X11: JSON payload decode (job/task payloads)."""
+    return _t(spark, sf_dir, "events").selectExpr(
+        "event_id", "get_json_object(props, '$.k') AS k")
+
+
+def q_time_buckets(spark, sf_dir):
+    """Timestamp handling: hourly event buckets (warc_ts-style)."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event")))
+
+
+def q_label_centroids(spark, sf_dir):
+    """Array/aggregate coverage: per-label per-dimension embedding
+    sums (decimal for order-independent cross-engine exactness)."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (x.select("label", (F.col("pos0") + 1).alias("pos"),
+                     F.col("v").cast("double").cast("decimal(20,10)")
+                     .alias("vd"))
+            .groupBy("label", "pos")
+            .agg(F.sum("vd").cast("decimal(25,10)").alias("sum_v"),
+                 F.count("*").alias("n"))
+            .filter(F.col("pos") <= 8))
+
+
 # ---------------------------------------------------------------------------
 # Group C/D — text + dedup + similarity ops (builders in textops/simsearch)
 # ---------------------------------------------------------------------------
@@ -311,6 +370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "pattern_filter": q_pattern_filter,
         "domain_scope": q_domain_scope,
+        "cache_key": q_cache_key,
+        # scalar/relational coverage
+        "content_truncate": q_content_truncate,
+        "union_dedup": q_union_dedup,
+        "rollup_counts": q_rollup_counts,
+        "json_extract": q_json_extract,
+        "time_buckets": q_time_buckets,
+        "label_centroids": q_label_centroids,
         # text analysis
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
@@ -518,6 +585,31 @@ def oracle_sql() -> dict[str, str]:
             "(stripped = 'h1.example.org' OR stripped LIKE '%.h1.example.org'"
             " OR 'h1.example.org' LIKE '%.' || stripped) AS in_scope_subs "
             "FROM s"),
+        "content_truncate": (
+            "SELECT doc_id, CASE WHEN length(text) > 200 THEN "
+            "substr(text, 1, 200) || '...[TRUNCATED]' ELSE text END "
+            "AS content FROM documents"),
+        "cache_key": (
+            f"SELECT doc_id, translate({URL_SQL_DUCK}, ':/?&', '____') "
+            "AS cache_key FROM documents"),
+        "union_dedup": (
+            "SELECT DISTINCT id FROM (SELECT user_id AS id FROM events "
+            "UNION ALL SELECT o_custkey AS id FROM orders)"),
+        "rollup_counts": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+        "json_extract": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS k "
+            "FROM events"),
+        "time_buckets": (
+            "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events, "
+            "min(event_id) AS first_event FROM events GROUP BY 1"),
+        "label_centroids": (
+            "WITH x AS (SELECT label, generate_subscripts(embedding, 1) "
+            "AS pos, unnest(embedding) AS v FROM embeddings) "
+            "SELECT label, pos, CAST(sum(CAST(CAST(v AS DOUBLE) "
+            "AS DECIMAL(20,10))) AS DECIMAL(25,10)) AS sum_v, "
+            "count(*) AS n FROM x WHERE pos <= 8 GROUP BY label, pos"),
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
             "AS n_tokens, CAST(length(text) AS INT) AS len_chars "

@@ -5,11 +5,13 @@ Env:
   SPARK_GRAFT_SF_DIR   input tables (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
   BENCH_REPLICATE      pages per document (default sized to ~50k pages)
-  BENCH_DEPTH          crawl depth (default 8)
+  BENCH_DEPTH          crawl depth (default 6)
+  BENCH_WEIGHT         page body weight (default 2 ~= 3-9KB text)
+  BENCH_SEEDS          seed count (default 64, spread across hosts)
 
 Headline = one full crawl over the synthetic web (the engine's primary
 metric: frontier URLs/sec) + the heavy analytic operators. The bench
-politeness budget is 4096/host: politeness is a *rate* (10 parallel ×
+politeness budget is 32768/host: politeness is a *rate* (10 parallel ×
 500 ms, mapper/service.go:93); a multi-second batch wave legitimately
 admits budget = rate x wave-duration, and the budget mechanism itself
 is exercised (it caps the hot host every wave). Scaling evidence (N vs
@@ -40,8 +42,10 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    depth = int(os.environ.get("BENCH_DEPTH", "8"))
-    budget = int(os.environ.get("BENCH_BUDGET", "4096"))
+    depth = int(os.environ.get("BENCH_DEPTH", "6"))
+    budget = int(os.environ.get("BENCH_BUDGET", "32768"))
+    weight = int(os.environ.get("BENCH_WEIGHT", "2"))
+    n_seeds = int(os.environ.get("BENCH_SEEDS", "64"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     shuffle = int(os.environ.get("BENCH_SHUFFLE", str(cpus)))
@@ -59,12 +63,12 @@ def main() -> int:
     n_docs = duckdb.sql(
         f"select count(*) from '{sf_dir}/documents.parquet'").fetchone()[0]
     replicate = int(os.environ.get(
-        "BENCH_REPLICATE", str(max(1, 50_000 // max(1, n_docs)))))
+        "BENCH_REPLICATE", str(max(1, 200_000 // max(1, n_docs)))))
     work = tempfile.mkdtemp(prefix="bench_")
     t0 = time.time()
     # corpus cache: generation is deterministic in (sf, replicate) and
     # excluded from the crawl metric — share it across runs/levels
-    cache_dir = f"/tmp/supacrawler_corpus_sf{sf}_r{replicate}"
+    cache_dir = f"/tmp/supacrawler_corpus_v3_sf{sf}_r{replicate}_w{weight}"
     pages_path = os.path.join(cache_dir, "pages")
     marker = os.path.join(cache_dir, "_COMPLETE")
     if os.path.exists(marker):
@@ -73,7 +77,7 @@ def main() -> int:
     else:
         pages_raw, n_pages = gen_pages_df(spark, sf_dir,
                                           replicate=replicate,
-                                          partitions=cpus)
+                                          partitions=128, weight=weight)
         prepare_pages(pages_raw).write.mode("overwrite").parquet(pages_path)
         open(marker, "w").write("ok")
     pages_prep = spark.read.parquet(pages_path)
@@ -82,7 +86,7 @@ def main() -> int:
         f"(replicate={replicate})")
 
     # ---- headline: the crawl ------------------------------------------------
-    seeds = gen_seeds(n_pages, k=16)
+    seeds = gen_seeds(n_pages, k=n_seeds)
     pol = gen_politeness_df(spark, max_parallel=budget)
     t0 = time.time()
     run = run_crawl(
@@ -95,6 +99,7 @@ def main() -> int:
         pages_prepared=True,
         collect_lineage=False,
         use_bloom=True,
+        cache_pages=os.environ.get("BENCH_CACHE_PAGES", "1") == "1",
     )
     crawl_sec = round(time.time() - t0, 2)
     timings["crawl"] = crawl_sec

@@ -22,6 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir)
+    env.setdefault("BENCH_BUDGET", "32768")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600)
@@ -34,11 +35,13 @@ def main():
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    results = {8: [], 32: []}
+    n_small = int(os.environ.get('SCALE_N', '4'))
+    n_big = 4 * n_small
+    results = {n_small: [], n_big: []}
     # JVM warm-up (discarded)
-    run_bench(32, sf_dir)
+    run_bench(n_big, sf_dir)
     for i in range(runs):
-        for cpus in (8, 32):
+        for cpus in (n_small, n_big):
             r = run_bench(cpus, sf_dir)
             results[cpus].append(r)
             print(f"run {i} cpus={cpus}: crawl={r['queries']['crawl']}s "
@@ -47,12 +50,12 @@ def main():
     def med(cpus, key):
         return statistics.median(x[key] for x in results[cpus])
 
-    thr8 = med(8, "urls_per_sec")
-    thr32 = med(32, "urls_per_sec")
+    thr8 = med(n_small, "urls_per_sec")
+    thr32 = med(n_big, "urls_per_sec")
     eff = round((thr32 / thr8) / 4, 3)
-    crawl8 = med(8, "queries_crawl") if False else statistics.median(
-        x["queries"]["crawl"] for x in results[8])
-    crawl32 = statistics.median(x["queries"]["crawl"] for x in results[32])
+    crawl8 = statistics.median(
+        x["queries"]["crawl"] for x in results[n_small])
+    crawl32 = statistics.median(x["queries"]["crawl"] for x in results[n_big])
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": eff,
@@ -63,8 +66,9 @@ def main():
         "crawl_sec_local32": crawl32,
         "runs": runs,
         "sf_dir": sf_dir,
-        "urls": results[32][-1]["urls_scheduled"],
-        "pages": results[32][-1]["pages"],
+        "urls": results[n_big][-1]["urls_scheduled"],
+        "pages": results[n_big][-1]["pages"],
+        "n_small": n_small, "n_big": n_big,
     }
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — measured numbers (this sandbox, 32-core box)
@@ -77,8 +81,8 @@ Same job, same seeded input ({summary['pages']} synthetic pages,
 
 | level | cores | crawl wall (s) | URLs/sec |
 |---|---|---|---|
-| N  | local[8]  | {crawl8} | {thr8} |
-| 4N | local[32] | {crawl32} | {thr32} |
+| N  | local[{summary["n_small"]}]  | {crawl8} | {thr8} |
+| 4N | local[{summary["n_big"]}] | {crawl32} | {thr32} |
 
 **Scaling efficiency eff = (thr_4N / thr_N) / 4 = {eff}**
 
@@ -89,10 +93,10 @@ waves — efficiency rises with corpus size as waves get larger. The
 politeness budget (4096/host/wave here) is the semantic throughput
 bound per wave; see bench.py docstring.
 
-## Per-query timings (local[32], latest run)
+## Per-query timings (local[{summary['n_big']}], latest run)
 
 ```json
-{json.dumps(results[32][-1], indent=2)}
+{json.dumps(results[n_big][-1], indent=2)}
 ```
 """)
     print(json.dumps(summary), flush=True)

@@ -31,17 +31,20 @@ from supacrawler_spark.functions import (
 
 
 def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
-               small_wave: bool = True) -> DataFrame:
+               small_wave: bool = True,
+               pages_urls: "DataFrame | None" = None) -> DataFrame:
     """J1: frontier left-joins the corpus on the canonical URL.
 
     Two physical strategies, picked by the driver per wave:
 
     - small_wave (politeness-capped wave, the common case): broadcast
-      the scheduled URL set, LEFT-SEMI it against the corpus (a pure
-      scan — no corpus shuffle, no sort), then broadcast the matched
-      slice (wave-bounded) back onto the frontier. The 100-TB corpus
-      is never shuffled; per wave it is scanned with url+html column
-      pruning only.
+      ONLY the slim frontier. Hits come from ONE broadcast-inner join
+      against the html corpus scan (parallel; html never leaves the
+      executors — broadcasting the matched html slice would be serial
+      driver time that grows with wave size). Misses are computed
+      against ``pages_urls``, a url-only projection of the corpus
+      (tiny columnar scan), so the html column is scanned exactly once
+      per wave.
     - large wave: SHUFFLE_HASH with the frontier as build side (never
       sort-merge-sort the corpus); with a bucketed corpus table
       (bucketize_pages / Iceberg bucket partitioning) the corpus side
@@ -49,13 +52,19 @@ def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
     """
     web = pages_prep.select(F.col("url_canon").alias("url"), "html")
     if small_wave:
-        matched = web.join(F.broadcast(scheduled.select("url").distinct()),
-                           "url", "left_semi")
-        return scheduled.join(F.broadcast(matched), "url", "left")
+        hits = web.join(F.broadcast(scheduled), "url", "inner")
+        urls = (pages_urls if pages_urls is not None
+                else pages_prep).select(F.col("url_canon").alias("url"))
+        hit_urls = urls.join(F.broadcast(scheduled.select("url")),
+                             "url", "left_semi")
+        miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti"
+                              ).withColumn("html",
+                                           F.lit(None).cast("binary"))
+        return hits.unionByName(miss.select(*hits.columns))
     return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
 
 
-def make_extractor(max_depth: int, include_html: bool, fresh: bool):
+def make_extractor(include_html: bool, fresh: bool):
     """Build the wave-extraction mapInPandas function.
 
     Per scheduled row (oracle.py spec):
@@ -65,8 +74,9 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
       (streamCrawl 470-503);
     - success iff markdown >= 10 chars (isValidResult 648-668), else
       ERR_LOW_QUALITY;
-    - `discovery` (expansion links) iff html && depth < max_depth &&
-      robots allows the page (mapper OnRequest 175-195).
+    - `discovery` (expansion links) iff html && robots allows the
+      page (mapper OnRequest 175-195); the depth gate applies at
+      expansion so stored discovery is reusable by the scrape cache.
     """
 
     out_cols = [f.name for f in RESULT_SCHEMA.fields]
@@ -120,8 +130,10 @@ def make_extractor(max_depth: int, include_html: bool, fresh: bool):
                             metadata = H.extract_metadata(html, r_url, 200)
 
                 discovery = None
-                if (html is not None and cols["depth"][i] < max_depth
-                        and robots_ok):
+                # depth-gating happens at expansion (expand_candidates)
+                # so stored discovery is depth-independent and reusable
+                # by the scrape cache (J3)
+                if html is not None and robots_ok:
                     seen_local = set()
                     discovery = []
                     for href in H.extract_hrefs(root=root):
@@ -161,13 +173,16 @@ def expand_candidates(
     include_subdomains: bool,
     patterns,
     robots_df: "DataFrame | None",
+    max_depth: int = 10**9,
 ) -> DataFrame:
     """Explode `discovery` into next-wave frontier candidates and apply
     the mapper's emission filters (mapper/service.go:127-152):
-    domain scope vs seed host -> robots -> patterns. Dedup/cap happen
-    in the plan (they need global state)."""
+    domain scope vs seed host -> robots -> patterns. Only pages below
+    the depth limit expand (colly MaxDepth, mapper/service.go:41).
+    Dedup/cap happen in the plan (they need global state)."""
     cand = results.filter(
         F.col("discovery").isNotNull() & (F.size("discovery") > 0)
+        & (F.col("depth") < max_depth)
     ).select(
         F.col("crawl_ord").alias("parent_ord"),
         (F.col("depth") + 1).alias("depth"),

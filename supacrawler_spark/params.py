@@ -17,6 +17,11 @@ class CrawlParams:
     #                                     robots check (ScrapeURL path)
     patterns: tuple = field(default_factory=tuple)
     max_waves: int = 1000               # driver-loop safety cap
+    max_seconds: "float | None" = None  # L6: crawl wall-clock cap (the
+    #                                     reference's 120s deadline,
+    #                                     crawl/service.go:323-331;
+    #                                     inherently nondeterministic,
+    #                                     so excluded from trace tests)
 
     def __post_init__(self):
         self.patterns = tuple(self.patterns or ())

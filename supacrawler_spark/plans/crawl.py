@@ -164,12 +164,20 @@ def run_crawl(
     default_host_budget: int = 10,
     pages_prepared: bool = False,
     cache_pages: bool = True,
+    scrape_cache: "DataFrame | None" = None,
 ) -> CrawlRun:
     """Run a crawl over the corpus. See module docstring and oracle.py
     for the exact semantics contract.
 
     ``seeds``: list of (url, seed_rank). ``pages_prepared``: pass True
     when pages_df already has url_canon (e.g. from bucketize_pages).
+
+    ``scrape_cache``: a prior run's successful result rows (J3, the
+    Redis scrape cache, scrape/service.go:583-614): cache-hit URLs
+    skip both the corpus join and the extraction UDF and reuse the
+    stored content/discovery. ``params.fresh=True`` bypasses it
+    (scrape/service.go:64-69). Extraction is a pure function of the
+    html, so cached and fresh runs are bit-identical (tested).
     """
     params = params or CrawlParams()
     own_state = state_dir is None
@@ -195,6 +203,12 @@ def run_crawl(
         # (memory+disk). At 100-TB scale this is the executors' cache
         # of hot table partitions; disable for corpora >> cluster RAM.
         pages_prep = pages_prep.persist()
+    # url-only corpus projection for the miss path of the fetch join:
+    # a few bytes/row, so the fat html column is scanned once per wave
+    urls_path = os.path.join(state_dir, "pages_urls")
+    if not (resume and os.path.exists(urls_path)):
+        _write(pages_prep.select("url_canon"), urls_path)
+    pages_urls = spark.read.parquet(urls_path).persist()
 
     D = params.max_depth
     L = params.link_limit
@@ -268,8 +282,16 @@ def run_crawl(
     it = it0
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     cores = spark.sparkContext.defaultParallelism
+    t_start = time.time()
+    deadline_hit = False
     while n_frontier > 0 and it < params.max_waves:
         if L > 0 and successes >= L:
+            break
+        if (params.max_seconds is not None
+                and time.time() - t_start > params.max_seconds):
+            # L6 wall-clock cap (crawl/service.go:323-331): stop
+            # between waves; committed state stays resumable
+            deadline_hit = True
             break
         t0 = time.time()
 
@@ -323,13 +345,42 @@ def run_crawl(
         # repartition first or extraction runs on a single core.
         scheduled = scheduled.repartition(
             max(8, spark.sparkContext.defaultParallelism), "url")
+
+        # J3 scrape cache: only successful prior rows are cached
+        # (ScrapeWithCache caches after isValidResult,
+        # scrape/service.go:46-48); pattern-skipped seeds never reach
+        # the cache path (streamCrawl checks the pattern first, 470).
+        cache_hits = None
+        if scrape_cache is not None and not params.fresh:
+            cacheable = scheduled.filter(F.col("pattern_ok"))
+            c = scrape_cache.filter("success").select(
+                "url", "status_code", "title", "markdown", "text",
+                "links", "discovery", "discovered", "metadata", "html")
+            hit = c.join(
+                F.broadcast(cacheable.select(
+                    "url", "iter", "depth", "crawl_ord", "seed_rank",
+                    "seed_host")), "url", "inner")
+            cache_hits = hit.select(
+                "url", "iter", "depth", "crawl_ord", "seed_rank",
+                "seed_host", "status_code",
+                F.lit(True).alias("success"),
+                F.lit(None).cast("string").alias("error"),
+                "title", "markdown", "text", "links", "discovery",
+                "discovered", "metadata", "html")
+            scheduled = scheduled.join(
+                F.broadcast(cache_hits.select("url")), "url", "left_anti")
+
         # broadcast-semi strategy while the politeness-capped wave is
         # broadcast-sized; shuffle-hash beyond (never sorts the corpus)
         fetched = fetch_join(scheduled, pages_prep,
-                             small_wave=n_frontier <= 2_000_000)
+                             small_wave=n_frontier <= 2_000_000,
+                             pages_urls=pages_urls)
         results = fetched.mapInPandas(
-            make_extractor(D, params.include_html, params.fresh),
+            make_extractor(params.include_html, params.fresh),
             RESULT_SCHEMA)
+        if cache_hits is not None:
+            results = results.unionByName(
+                cache_hits.select(*[f.name for f in RESULT_SCHEMA.fields]))
         res_path = os.path.join(state_dir, "results", f"{it:05d}")
         t_fetch = time.time()
         _write(results, res_path)
@@ -359,7 +410,8 @@ def run_crawl(
         n_new = 0
         if not limit_reached:
             cand = expand_candidates(
-                res_df, params.include_subdomains, params.patterns, robots_df)
+                res_df, params.include_subdomains, params.patterns,
+                robots_df, max_depth=D)
             kdf = known_df()
             if kdf is not None:
                 bloom_active = bloom is not None and \
@@ -435,6 +487,9 @@ def run_crawl(
         it += 1
 
     spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+    if cache_pages:
+        pages_prep.unpersist()
+    pages_urls.unpersist()
     run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
                    manifest=manifest, link_limit=L)
     n_res = min(successes, L) if L > 0 else successes
@@ -442,7 +497,8 @@ def run_crawl(
         F.col("error").isNotNull()).count() if manifest else 0
     run.stats = dict(total_pages=n_res + total_err,
                      successful_pages=n_res, failed_pages=total_err,
-                     waves=len(manifest), urls_scheduled=next_ord)
+                     waves=len(manifest), urls_scheduled=next_ord,
+                     deadline_hit=deadline_hit)
     return run
 
 

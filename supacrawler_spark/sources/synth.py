@@ -133,7 +133,8 @@ def _link_specs(doc_id: int, n_docs: int, seed: int):
     return links
 
 
-def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42) -> str:
+def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
+               weight: int = 1) -> str:
     hid = host_id(doc_id)
     hname = host_name(hid)
     title = f"Page {doc_id} — {hname}"
@@ -142,7 +143,7 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42) -> str:
     # text (Common-Crawl pages are tens of KB; the tiny documents rows
     # alone would make extraction unrealistically cheap). Deterministic
     # per page; repeats are suffixed so every sentence stays unique.
-    target = 1500 + (doc_id % 5) * 700
+    target = weight * (1500 + (doc_id % 5) * 700)
     body_words = list(words)
     rep = 1
     while sum(len(w) + 1 for w in body_words) < target:
@@ -201,8 +202,8 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42) -> str:
 
 
 def synth_page(doc_id: int, text: str, lang: str, n_docs: int,
-               seed: int = 42) -> dict:
-    html = synth_html(doc_id, text, n_docs, seed)
+               seed: int = 42, weight: int = 1) -> dict:
+    html = synth_html(doc_id, text, n_docs, seed, weight)
     return {
         "url": page_url(doc_id, seed),
         "warc_ts": BASE_TS + timedelta(seconds=int(doc_id)),
@@ -214,7 +215,7 @@ def synth_page(doc_id: int, text: str, lang: str, n_docs: int,
 
 def gen_pages_df(spark, sf_dir: str, seed: int = 42,
                  limit: "int | None" = None, replicate: int = 1,
-                 partitions: "int | None" = None):
+                 partitions: "int | None" = None, weight: int = 1):
     """Distributed generation: documents -> pages via mapInPandas.
     ``n_pages`` is the one driver-side scalar (a count), everything
     else is per-row pure functions — the generator itself scales.
@@ -222,7 +223,9 @@ def gen_pages_df(spark, sf_dir: str, seed: int = 42,
     ``replicate``: pages per document (page_id = doc_id * R + j), used
     to grow the bench corpus beyond the documents table (FIXTURES.md:
     bench ~50k+ pages). Replica texts get a distinct suffix so every
-    page's golden bytes stay unique.
+    page's golden bytes stay unique. ``weight`` scales page body size
+    (weight=8 ~= 12-34KB of text — the Common-Crawl page-weight class;
+    weight=1 keeps unit-test corpora fast).
     """
     from supacrawler_spark.schemas import PAGES_SCHEMA
 
@@ -242,7 +245,8 @@ def gen_pages_df(spark, sf_dir: str, seed: int = 42,
                     pid = int(r.doc_id) * replicate + j
                     txt = r.text if replicate == 1 else (
                         f"{r.text} replica {j}")
-                    rows.append(synth_page(pid, txt, r.lang, n_pages, seed))
+                    rows.append(synth_page(pid, txt, r.lang, n_pages,
+                                           seed, weight))
             yield pd.DataFrame(rows)
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA), n_pages
