@@ -45,6 +45,7 @@ def politeness_select(
     politeness_df: "DataFrame | None" = None,
     default_budget: int = 10,
     hint_count: "int | None" = None,
+    persist: bool = False,
 ):
     """Split the frontier into (selected, deferred) per host budgets.
 
@@ -80,10 +81,17 @@ def politeness_select(
 
     w_host = Window.partitionBy("host").orderBy(*order_exprs())
     ranked = survivors.withColumn("_hrank", F.row_number().over(w_host))
+    cached = None
+    if persist:
+        # selected feeds the extraction commit, deferred the frontier
+        # commit — cache the shared ranking so the second action
+        # reuses it instead of re-running the windows
+        ranked = ranked.persist()
+        cached = ranked
     selected = ranked.filter(F.col("_hrank") <= F.col("_budget"))
     deferred = ranked.filter(F.col("_hrank") > F.col("_budget")).unionByName(
         pre_deferred.withColumn("_hrank", F.lit(None).cast("int")),
         allowMissingColumns=False,
     )
     drop = ("_budget", "_salt", "_brank", "_hrank")
-    return selected.drop(*drop), deferred.drop(*drop)
+    return selected.drop(*drop), deferred.drop(*drop), cached

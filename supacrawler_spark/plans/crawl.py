@@ -300,14 +300,15 @@ def run_crawl(
         # their ~10 shuffle stages — size the partition count to the
         # wave, not the cluster. The heavy extraction stage is
         # parallelized separately by an explicit repartition.
-        wave_shuffle = min(max(8, n_frontier // 3000), 4 * cores)
+        wave_shuffle = min(max(cores, n_frontier // 3000), 4 * cores)
         spark.conf.set("spark.sql.shuffle.partitions", str(wave_shuffle))
 
         # 1. politeness selection (salted two-phase per-host top-B
-        # above the salt threshold; plain per-host window below)
-        selected, deferred = politeness_select(
+        # above the salt threshold; plain per-host window below),
+        # cached across the wave's two commits
+        selected, deferred, _rank_cache = politeness_select(
             frontier, politeness_df, default_host_budget,
-            hint_count=n_frontier)
+            hint_count=n_frontier, persist=True)
 
         # 2. global rank in crawl order K; budget cut; crawl_ord
         selected = ordered_row_number(
@@ -387,12 +388,10 @@ def run_crawl(
         stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
         res_df = spark.read.parquet(res_path)
 
-        t_s = time.time()
-        agg = res_df.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("success").cast("long")).alias("s")).collect()[0]
-        wave_sched, wave_succ = agg["n"], int(agg["s"] or 0)
-        stage_ms["agg"] = int((time.time() - t_s) * 1000)
+        res_agg = res_df.agg(
+            F.count("*").alias("a"),
+            F.sum(F.col("success").cast("long")).alias("b")).select(
+            F.lit("res").alias("k"), "a", "b")
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -455,12 +454,23 @@ def run_crawl(
         fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
         _write(next_frontier, fr_path)
         raw = spark.read.parquet(fr_path)
-        counts = raw.agg(
-            F.sum(F.col("is_new").cast("long")).alias("n_new"),
+        fr_agg = raw.agg(
+            F.sum(F.col("is_new").cast("long")).alias("a"),
             F.sum((~(F.col("is_new") & F.col("url").isin(seed_urls)))
-                  .cast("long")).alias("n_sched")).collect()[0]
-        n_new = int(counts["n_new"] or 0)
-        n_frontier = int(counts["n_sched"] or 0)
+                  .cast("long")).alias("b")).select(
+            F.lit("fr").alias("k"), "a", "b")
+        # ONE action for both per-wave aggregates (results stats +
+        # frontier counts): every saved action is ~0.5-1s of fixed
+        # driver latency per wave
+        t_s = time.time()
+        rows = {r["k"]: r for r in res_agg.unionByName(fr_agg).collect()}
+        wave_sched = int(rows["res"]["a"] or 0)
+        wave_succ = int(rows["res"]["b"] or 0)
+        n_new = int(rows["fr"]["a"] or 0)
+        n_frontier = int(rows["fr"]["b"] or 0)
+        stage_ms["agg"] = int((time.time() - t_s) * 1000)
+        if _rank_cache is not None:
+            _rank_cache.unpersist()
         frontier = _read_frontier(spark, fr_path, seed_urls)
         if not limit_reached:
             if bloom_built and n_new:

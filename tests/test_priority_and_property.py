@@ -23,7 +23,7 @@ def test_priority_column_orders_frontier(spark, web):
         rows.append((url, "h.example.org", U.url_hash64(url), 1, 0, i, 0,
                      "h.example.org", 1.0 if i >= 10 else 0.0))
     f = spark.createDataFrame(rows, FRONTIER_SCHEMA)
-    selected, deferred = politeness_select(f, None, default_budget=10,
+    selected, deferred, _ = politeness_select(f, None, default_budget=10,
                                            hint_count=20)
     sel = {r.url for r in selected.collect()}
     # the 10 high-priority rows win the budget despite higher link_pos
