@@ -42,12 +42,23 @@ def ordered_row_number(
         return df.withColumn(
             name, (F.row_number().over(w) + F.lit(offset)).cast("long"))
 
+    # `ranked` feeds BOTH the counts aggregate and the final join. The
+    # partition ids those two consumers see MUST agree, so:
+    # - the range partition count is explicit (AQE is free to coalesce
+    #   an unspecified repartitionByRange differently per consumer,
+    #   which silently corrupts the offsets — found as a core-count-
+    #   dependent crawl divergence at >200k-row frontiers);
+    # - the ranked frame is persisted so both consumers read one
+    #   materialization.
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = (
-        df.repartitionByRange(*cols)
+        df.repartitionByRange(n_parts, *cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     w_local = Window.partitionBy("_pid").orderBy(*cols)
-    ranked = ranked.withColumn("_lrank", F.row_number().over(w_local))
+    ranked = ranked.withColumn(
+        "_lrank", F.row_number().over(w_local)).persist()
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_prefix = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1)
