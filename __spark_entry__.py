@@ -147,19 +147,30 @@ def q_host_counts(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-shaped agg (decimal sums for cross-engine exactness)."""
+    """TPC-H Q1-shaped agg.
+
+    Arithmetic stays in exact decimal (a double product cast to 2dp
+    would tie-round differently across engines), but the OUTPUT columns
+    are BIGINT-scaled integers (cents / 1e-4 units): decimal outputs
+    hash-mismatch under any harness that converts DECIMAL through
+    float64, so the result representation must be integer-exact in any
+    engine's default conversion."""
     li = _t(spark, sf_dir, "lineitem").filter(
         "l_shipdate <= timestamp '2024-09-01 00:00:00'")
-    # all arithmetic in exact decimal: a double product cast to 2dp
-    # would tie-round differently across engines (HALF_UP vs HALF_EVEN)
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = price * (F.lit(1).cast("decimal(18,2)")
                     - F.col("l_discount").cast("decimal(18,2)"))
     return (li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).cast("decimal(22,2)").alias("sum_qty"),
-        F.sum(price).cast("decimal(22,2)").alias("sum_base_price"),
-        F.sum(disc).cast("decimal(22,4)").alias("sum_disc_price"),
+        (F.sum(qty).cast("decimal(22,2)")
+         * F.lit(100).cast("decimal(3,0)")).cast("bigint")
+        .alias("sum_qty_e2"),
+        (F.sum(price).cast("decimal(22,2)")
+         * F.lit(100).cast("decimal(3,0)")).cast("bigint")
+        .alias("sum_base_price_e2"),
+        (F.sum(disc).cast("decimal(22,4)")
+         * F.lit(10000).cast("decimal(5,0)")).cast("bigint")
+        .alias("sum_disc_price_e4"),
         F.count("*").alias("count_order")))
 
 
@@ -263,14 +274,19 @@ def q_time_buckets(spark, sf_dir):
 
 def q_label_centroids(spark, sf_dir):
     """Array/aggregate coverage: per-label per-dimension embedding
-    sums (decimal for order-independent cross-engine exactness)."""
+    sums. Per-element exact decimal (float->double->decimal, the only
+    conversion both engines agree on) scaled to an integer 1e-10 grid
+    BEFORE summing, so the output is a plain BIGINT sum — hash-stable
+    under any engine's default type conversion (decimal outputs are
+    not; see round-1 verdict)."""
     e = _t(spark, sf_dir, "embeddings")
     x = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    vd = F.col("v").cast("double").cast("decimal(20,10)")
     return (x.select("label", (F.col("pos0") + 1).alias("pos"),
-                     F.col("v").cast("double").cast("decimal(20,10)")
-                     .alias("vd"))
+                     (vd * F.lit(10000000000).cast("decimal(11,0)"))
+                     .cast("bigint").alias("v_e10"))
             .groupBy("label", "pos")
-            .agg(F.sum("vd").cast("decimal(25,10)").alias("sum_v"),
+            .agg(F.sum("v_e10").alias("sum_v_e10"),
                  F.count("*").alias("n"))
             .filter(F.col("pos") <= 8))
 
@@ -544,13 +560,13 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value FROM events GROUP BY 1"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(22,2)) "
-            "AS sum_qty, "
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
-            "AS DECIMAL(22,2)) AS sum_base_price, "
-            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
+            "AS DECIMAL(22,2)) * 100 AS BIGINT) AS sum_qty_e2, "
+            "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+            "AS DECIMAL(22,2)) * 100 AS BIGINT) AS sum_base_price_e2, "
+            "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
             "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
-            " AS DECIMAL(22,4)) AS sum_disc_price, "
+            " AS DECIMAL(22,4)) * 10000 AS BIGINT) AS sum_disc_price_e4, "
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"),
@@ -607,8 +623,9 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": (
             "WITH x AS (SELECT label, generate_subscripts(embedding, 1) "
             "AS pos, unnest(embedding) AS v FROM embeddings) "
-            "SELECT label, pos, CAST(sum(CAST(CAST(v AS DOUBLE) "
-            "AS DECIMAL(20,10))) AS DECIMAL(25,10)) AS sum_v, "
+            "SELECT label, pos, CAST(sum(CAST(CAST(CAST(v AS DOUBLE) "
+            "AS DECIMAL(20,10)) * CAST(10000000000 AS DECIMAL(11,0)) "
+            "AS BIGINT)) AS BIGINT) AS sum_v_e10, "
             "count(*) AS n FROM x WHERE pos <= 8 GROUP BY label, pos"),
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
