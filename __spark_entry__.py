@@ -342,10 +342,21 @@ def q_scrape_markdown(spark, sf_dir):
 
 
 def q_media_metadata(spark, sf_dir):
-    """Multimodal: binary payload -> typed metadata via mapInPandas
-    (decode stubbed deterministically; see multimodal.py)."""
+    """Multimodal: REAL image bytes (PNG/GIF/JPEG synthesized per doc)
+    -> typed metadata via a dependency-free header parser in
+    mapInPandas. The oracle knows format/width/height a priori from
+    the fixture's doc_id rule — the parser must recover them from the
+    actual container bytes."""
     from supacrawler_spark import multimodal
     return multimodal.media_metadata(multimodal.docs_as_media(spark, sf_dir))
+
+
+def q_media_digest(spark, sf_dir):
+    """Multimodal plumbing byte-exactness: length + md5 of the binary
+    payload column, computed JVM-side."""
+    from supacrawler_spark import multimodal
+    return multimodal.media_digest(
+        multimodal.docs_as_text_media(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace": q_crawl_trace,
         "scrape_markdown": q_scrape_markdown,
         "media_metadata": q_media_metadata,
+        "media_digest": q_media_digest,
     }
 
 
@@ -689,6 +701,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
         "simhash": _simhash_sql(),
+        "media_metadata": (
+            "SELECT doc_id, "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "
+            "WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format, "
+            "CAST(16 + doc_id % 48 AS INT) AS width, "
+            "CAST(16 + (doc_id * 7) % 48 AS INT) AS height "
+            "FROM documents"),
+        "media_digest": (
+            "SELECT doc_id, "
+            "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, "
+            "md5(text) AS digest FROM documents"),
         "cosine_topk": _cosine_sql(ann=False),
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _cosine_sql(ann=True),

@@ -26,6 +26,7 @@ def ordered_row_number(
     name: str,
     offset: int = 0,
     hint_count: "int | None" = None,
+    cache_out: "list | None" = None,
 ) -> DataFrame:
     """Add a deterministic 1-based global rank ``name`` ordered by
     ``order_cols`` (+ ``offset``). The order must be a total order
@@ -34,6 +35,12 @@ def ordered_row_number(
     Correctness does not depend on partition boundaries: range
     partitioning guarantees pid order == key order, local ranks are
     offset by exclusive prefix sums of partition counts.
+
+    ``cache_out``: the two-phase path persists an intermediate frame
+    that MUST stay cached until the caller's actions complete (both
+    consumers must see one materialization of the partition ids). The
+    handle is appended here so the caller can unpersist it afterwards;
+    without it the cache lives until session LRU eviction.
     """
     cols = [c if not isinstance(c, str) else F.col(c) for c in order_cols]
 
@@ -59,6 +66,8 @@ def ordered_row_number(
     w_local = Window.partitionBy("_pid").orderBy(*cols)
     ranked = ranked.withColumn(
         "_lrank", F.row_number().over(w_local)).persist()
+    if cache_out is not None:
+        cache_out.append(ranked)
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_prefix = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1)

@@ -58,6 +58,13 @@ from supacrawler_spark.sources import prepare_pages
 
 BLOOM_THRESHOLD = 100_000
 
+# Broadcast the frontier side of the fetch join only while the
+# politeness-capped SCHEDULED wave (not the frontier!) is provably
+# under this many slim rows (~200 B/row -> ~50 MB, inside a sane
+# driver/broadcast budget). Beyond it: SHUFFLE_HASH. Module-level so
+# tests can force the shuffle path (test_crawl_engine).
+SMALL_WAVE_ROWS = 250_000
+
 RESULT_COLS_USER = [
     "url", "iter", "depth", "crawl_ord", "seed_rank", "seed_host",
     "status_code", "success", "error", "title", "markdown", "text",
@@ -75,8 +82,12 @@ class CrawlRun:
     link_limit: int = 0
 
     def _results_all(self) -> DataFrame:
+        p = os.path.join(self.state_dir, "results")
+        if not self.manifest or not os.path.isdir(p):
+            # zero committed waves (e.g. politeness starved wave 0)
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
         return (self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(os.path.join(self.state_dir, "results")))
+                .parquet(p))
 
     def _p(self, name: str, it: int) -> str:
         return os.path.join(self.state_dir, name, f"{it:05d}")
@@ -129,6 +140,27 @@ def bucketize_pages(spark, pages_df: DataFrame, table: str = "pages_bucketed",
 
 def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
+
+
+def _prune_uncommitted(state_dir: str, last_iter: int) -> None:
+    """Delete per-wave state dirs beyond the last committed manifest
+    line. Wave i's frontier/results/lineage files are written BEFORE
+    the manifest line that commits them; after a crash in that window
+    the orphan files must not be visible to a resumed run — known_df()
+    would anti-join the regenerated candidates against the orphan's
+    is_new rows and silently drop a whole wave of discoveries, and
+    _results_all() would double-count the orphan results."""
+    for name in ("frontier", "results", "lineage"):
+        base = os.path.join(state_dir, name)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            try:
+                i = int(d)
+            except ValueError:
+                continue
+            if i > last_iter:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
 def _read_frontier(spark, path: str, seed_urls) -> DataFrame:
@@ -215,6 +247,17 @@ def run_crawl(
     ML = params.discovery_cap
     pattern_udf = match_patterns_udf(params.patterns)
 
+    # upper bound on any host's politeness budget — used with the
+    # frontier's distinct-host count to bound the scheduled-wave size
+    # before it is computed (broadcast-vs-shuffle gate). politeness_df
+    # is a broadcastable dim by design, so this one-time driver action
+    # is tiny at any scale.
+    max_budget = default_host_budget
+    if politeness_df is not None:
+        _mb = politeness_df.agg(F.max("max_parallel")).first()[0]
+        if _mb is not None:
+            max_budget = max(int(_mb), default_host_budget)
+
     # ---- init / resume ----------------------------------------------------
     manifest = []
     if resume and os.path.exists(manifest_path):
@@ -228,6 +271,7 @@ def run_crawl(
         discovered_cnt = last["discovered_cnt"]
         limit_reached = last["limit_reached"]
         run_id = last["run_id"]
+        hosts_est = last.get("hosts_next")
         frontier = _read_frontier(
             spark, os.path.join(state_dir, "frontier",
                                 f"{last['iter']:05d}"),
@@ -246,6 +290,10 @@ def run_crawl(
         frontier = _seed_frontier(spark, seeds)
         n_frontier = frontier.count()
         discovered_cnt = 0
+        hosts_est = None
+    # crash-window hygiene: drop any wave files newer than the last
+    # committed manifest line (all of them on a fresh start)
+    _prune_uncommitted(state_dir, manifest[-1]["iter"] if manifest else -1)
 
     # Bloom engages lazily: below BLOOM_THRESHOLD known keys the exact
     # anti-join alone is faster than the probe shuffle; at the 10^10
@@ -311,8 +359,10 @@ def run_crawl(
             hint_count=n_frontier, persist=True)
 
         # 2. global rank in crawl order K; budget cut; crawl_ord
+        wave_caches = []
         selected = ordered_row_number(
-            selected, order_exprs(), "_grank", hint_count=n_frontier)
+            selected, order_exprs(), "_grank", hint_count=n_frontier,
+            cache_out=wave_caches)
         if L > 0:
             rem = L - successes
             overflow = selected.filter(F.col("_grank") > rem).drop("_grank")
@@ -371,10 +421,23 @@ def run_crawl(
             scheduled = scheduled.join(
                 F.broadcast(cache_hits.select("url")), "url", "left_anti")
 
-        # broadcast-semi strategy while the politeness-capped wave is
-        # broadcast-sized; shuffle-hash beyond (never sorts the corpus)
+        # broadcast-semi strategy while the politeness-capped SCHEDULED
+        # wave is broadcast-sized; shuffle-hash beyond (never sorts the
+        # corpus). The scheduled count is bounded before it is computed:
+        # <= n_frontier, <= remaining link budget, and <= distinct
+        # frontier hosts (prev wave's fused aggregate) x max host budget
+        # — gating on n_frontier alone would broadcast a huge scheduled
+        # frame when hosts are many (driver OOM) and shuffle needlessly
+        # when a huge frontier collapses to a tiny polite wave.
+        sched_bound = n_frontier
+        if L > 0:
+            sched_bound = min(sched_bound, max(L - successes, 0))
+        if hosts_est:
+            # +10% for approx_count_distinct error, +16 slack
+            sched_bound = min(sched_bound,
+                              int(hosts_est * 1.1 + 16) * max_budget)
         fetched = fetch_join(scheduled, pages_prep,
-                             small_wave=n_frontier <= 2_000_000,
+                             small_wave=sched_bound <= SMALL_WAVE_ROWS,
                              pages_urls=pages_urls)
         results = fetched.mapInPandas(
             make_extractor(params.include_html, params.fresh),
@@ -391,7 +454,8 @@ def run_crawl(
         res_agg = res_df.agg(
             F.count("*").alias("a"),
             F.sum(F.col("success").cast("long")).alias("b")).select(
-            F.lit("res").alias("k"), "a", "b")
+            F.lit("res").alias("k"), "a", "b",
+            F.lit(None).cast("long").alias("c"))
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -436,7 +500,8 @@ def run_crawl(
             if ML is not None:
                 avail = ML - discovered_cnt
                 cand = ordered_row_number(
-                    cand, ["parent_ord", "link_pos"], "_dord")
+                    cand, ["parent_ord", "link_pos"], "_dord",
+                    cache_out=wave_caches)
                 cand = cand.filter(F.col("_dord") <= avail).drop("_dord")
             new_cand = cand.select(*FRONTIER_SCHEMA.fieldNames())
         else:
@@ -454,23 +519,36 @@ def run_crawl(
         fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
         _write(next_frontier, fr_path)
         raw = spark.read.parquet(fr_path)
+        sched_cond = ~(F.col("is_new") & F.col("url").isin(seed_urls))
         fr_agg = raw.agg(
             F.sum(F.col("is_new").cast("long")).alias("a"),
-            F.sum((~(F.col("is_new") & F.col("url").isin(seed_urls)))
-                  .cast("long")).alias("b")).select(
-            F.lit("fr").alias("k"), "a", "b")
+            F.sum(sched_cond.cast("long")).alias("b"),
+            F.approx_count_distinct(
+                F.when(sched_cond, F.col("host"))).alias("c")).select(
+            F.lit("fr").alias("k"), "a", "b", "c")
         # ONE action for both per-wave aggregates (results stats +
-        # frontier counts): every saved action is ~0.5-1s of fixed
-        # driver latency per wave
+        # frontier counts + next wave's host estimate): every saved
+        # action is ~0.5-1s of fixed driver latency per wave
         t_s = time.time()
         rows = {r["k"]: r for r in res_agg.unionByName(fr_agg).collect()}
         wave_sched = int(rows["res"]["a"] or 0)
         wave_succ = int(rows["res"]["b"] or 0)
         n_new = int(rows["fr"]["a"] or 0)
         n_frontier = int(rows["fr"]["b"] or 0)
+        hosts_est = int(rows["fr"]["c"] or 0)
         stage_ms["agg"] = int((time.time() - t_s) * 1000)
         if _rank_cache is not None:
             _rank_cache.unpersist()
+        for c in wave_caches:
+            c.unpersist()
+        if wave_sched == 0:
+            # a zero-budget politeness table starved every remaining
+            # host: nothing is ever schedulable again. Match the
+            # oracle's empty-selection exit — the empty wave is not
+            # committed (no manifest line, files pruned), instead of
+            # looping to max_waves at fixed driver cost per iteration.
+            _prune_uncommitted(state_dir, it - 1)
+            break
         frontier = _read_frontier(spark, fr_path, seed_urls)
         if not limit_reached:
             if bloom_built and n_new:
@@ -489,6 +567,7 @@ def run_crawl(
                     wave_successes=wave_succ, successes=successes,
                     next_ord=next_ord, discovered_cnt=discovered_cnt,
                     limit_reached=limit_reached, n_frontier_next=n_frontier,
+                    hosts_next=hosts_est,
                     wall_ms=int((time.time() - t0) * 1000),
                     stage_ms=stage_ms)
         manifest.append(line)

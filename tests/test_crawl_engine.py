@@ -46,7 +46,7 @@ def _run_case(spark, web, params, politeness=None, robots=False,
     pages_df, pages_local, n_docs = web
     seeds = gen_seeds(n_docs, k=2, include_dangling=dangling)
     pol_df = pol_dict = None
-    if politeness:
+    if politeness is not None:
         pol_df = gen_politeness_df(spark, max_parallel=politeness)
         pol_dict = {host_name(h): politeness for h in range(n_hosts())}
     rob_df = rob_rules = None
@@ -124,6 +124,33 @@ def test_dangling_seed_error_path(spark, web):
                          dangling=True)
     assert any(e == "filtered out low-quality content"
                for e in orc.errors.values())
+
+
+def test_shuffle_fetch_path_equals_broadcast(spark, web, monkeypatch):
+    """Forcing the SHUFFLE_HASH fetch-join strategy (the large-wave
+    path) must produce an identical crawl — the broadcast gate is a
+    physical-plan choice only."""
+    from supacrawler_spark.plans import crawl as crawl_mod
+
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=40)
+    run_b = run_crawl(spark, pages_df, seeds, params)
+    monkeypatch.setattr(crawl_mod, "SMALL_WAVE_ROWS", 0)
+    run_s = run_crawl(spark, pages_df, seeds, params)
+    assert [tuple(r) for r in run_b.trace.collect()] == \
+           [tuple(r) for r in run_s.trace.collect()]
+
+
+def test_zero_budget_starvation_exits(spark, web):
+    """A politeness budget of 0 starves every host: the oracle breaks
+    on its first empty selection; the engine must do the same (no
+    empty-wave spin to max_waves, no empty manifest lines)."""
+    run, orc = _run_case(spark, web, CrawlParams(depth=2, link_limit=40),
+                         politeness=0)
+    assert orc.waves == []
+    assert run.stats["waves"] == 0
+    assert run.stats["urls_scheduled"] == 0
 
 
 def test_bloom_off_equals_on(spark, web):
