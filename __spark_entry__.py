@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from supacrawler_spark import simsearch, textops  # noqa: E402
+from supacrawler_spark import parseops, simsearch, textops  # noqa: E402
 from supacrawler_spark.functions import (  # noqa: E402
     canon_info,
     domain_scope_udf,
@@ -59,6 +59,10 @@ HOST_SQL = (
     "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'www.h1.example.org' "
     "WHEN 1 THEN 'h1.example.org' ELSE 'sub.h1.example.org' END"
 )
+
+# golden parquet oracles (scripts/make_goldens.py) for non-SQL queries
+_GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "goldens")
 
 
 # ---------------------------------------------------------------------------
@@ -416,7 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": textops.minhash_signatures,
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "ngram_jaccard": textops.ngram_jaccard_pairs,
+        "lsh_verified_pairs": textops.lsh_verified_pairs,
         "simhash": textops.simhash,
+        # parse data plane
+        "parse_prep": parseops.parse_prep,
         # similarity search
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
@@ -685,6 +692,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM bands a JOIN bands b ON a.band_id = b.band_id "
             "AND a.bh = b.bh AND a.doc_id < b.doc_id"),
+        "lsh_verified_pairs": (
+            _minhash_sql_core() + ", "
+            f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+            "bands AS (" + " UNION ALL ".join(
+                "SELECT doc_id, {b} AS band_id, md5({cat}) AS bh FROM sig"
+                .format(b=b, cat=" || '|' || ".join(
+                    f"mh{b * rows_per_band + r}"
+                    for r in range(rows_per_band)))
+                for b in range(textops.LSH_BANDS)) + "), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+            "AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+            "cd AS (SELECT doc_a AS doc_id FROM cand "
+            "UNION SELECT doc_b FROM cand), "
+            "shc AS (SELECT sh.doc_id, sh.shingle FROM sh "
+            "JOIN cd USING (doc_id)), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM shc "
+            "GROUP BY doc_id), "
+            "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter "
+            "FROM cand c JOIN shc a ON a.doc_id = c.doc_a "
+            "JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, n_inter, "
+            "n_inter / (sa.n + sb.n - n_inter) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
+        "parse_prep": (
+            "WITH p AS (SELECT doc_id % 50 AS job_id, doc_id, "
+            "CASE WHEN length(r) > 15000 THEN substr(r, 1, 15000) || "
+            "'...[TRUNCATED]' ELSE r END AS content FROM "
+            "(SELECT doc_id, repeat(text || ' ', 40) AS r "
+            "FROM documents)), "
+            "n AS (SELECT job_id, doc_id, content, row_number() OVER ("
+            "PARTITION BY job_id ORDER BY doc_id) AS rn FROM p) "
+            "SELECT job_id, count(*) AS n_sources, "
+            "CAST(sum(length(content)) AS BIGINT) AS total_chars, "
+            "md5(string_agg('=== SOURCE ' || rn || ': doc-' || doc_id || "
+            "' ===' || chr(10) || content || chr(10) || chr(10), '' "
+            "ORDER BY doc_id)) AS prompt_md5 "
+            "FROM n GROUP BY job_id"),
         "ngram_jaccard": (
             "WITH sh AS (SELECT DISTINCT doc_id, "
             "unnest(list_transform(range(1, len(w)-1), "
@@ -715,6 +763,15 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _cosine_sql(ann=False),
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _cosine_sql(ann=True),
-        # crawl_trace / scrape_markdown / media_metadata: non-SQL
-        # (iterative loop + Python-kernel extraction) -> rows-only check
+        # The iterative crawl and the UDF-kernel scrape are not
+        # SQL-expressible, but their expected outputs ARE computable a
+        # priori by the independent pure-Python oracle (oracle.py);
+        # scripts/make_goldens.py freezes them to parquet at fixture-
+        # build time so the driver gets a full value-hash check.
+        "crawl_trace": (
+            "SELECT crawl_ord, iter, depth, url, status_code FROM "
+            f"'{_GOLDENS}/crawl_trace_sf001.parquet'"),
+        "scrape_markdown": (
+            "SELECT url, status_code, success, title, discovered FROM "
+            f"'{_GOLDENS}/scrape_markdown_sf001.parquet'"),
     }

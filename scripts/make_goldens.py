@@ -1,0 +1,100 @@
+"""Generate golden parquet oracles for the non-SQL driver queries.
+
+The crawl loop and single-page scrape are not SQL-expressible, but
+their EXPECTED outputs are computable a priori by the pure-Python
+oracle (supacrawler_spark/oracle.py — an independent transcription of
+the reference algorithm, no Spark involved). This script freezes those
+expectations to parquet; __spark_entry__.oracle_sql() then exposes
+them as plain SELECTs, upgrading crawl_trace / scrape_markdown from
+rows-only checks to full row/schema/value-hash driver checks.
+
+Inputs are exactly what the Spark queries use: the driver-provided
+documents table at sf0.01 and the deterministic synthetic web
+(sources/synth.py). Regenerate (and commit) whenever the fixture
+generator, the oracle, or the query parameters change:
+
+    python scripts/make_goldens.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+from supacrawler_spark import htmlkit as H  # noqa: E402
+from supacrawler_spark.oracle import crawl_oracle  # noqa: E402
+from supacrawler_spark.params import CrawlParams  # noqa: E402
+from supacrawler_spark.sources.synth import (  # noqa: E402
+    gen_seeds,
+    page_url,
+    synth_html,
+)
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "goldens")
+
+
+def _texts(limit: int) -> dict:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE doc_id < {limit} ORDER BY doc_id").fetchall()
+    return {int(i): t for i, t in rows}
+
+
+def _pages(limit: int) -> dict:
+    texts = _texts(limit)
+    n = len(texts)
+    return {page_url(i): synth_html(i, texts[i], n) for i in sorted(texts)}
+
+
+def golden_crawl_trace():
+    """Mirror of __spark_entry__.q_crawl_trace (sf0.01, limit=150,
+    seeds k=2, depth=2, link_limit=25)."""
+    pages = _pages(150)
+    orc = crawl_oracle(pages, gen_seeds(len(pages), k=2),
+                       CrawlParams(depth=2, link_limit=25))
+    cols = list(zip(*orc.trace)) or [[]] * 5
+    t = pa.table({
+        "crawl_ord": pa.array(cols[0], pa.int64()),
+        "iter": pa.array(cols[1], pa.int32()),
+        "depth": pa.array(cols[2], pa.int32()),
+        "url": pa.array(cols[3], pa.string()),
+        "status_code": pa.array(cols[4], pa.int32()),
+    })
+    pq.write_table(t, os.path.join(OUT, "crawl_trace_sf001.parquet"))
+    print(f"crawl_trace golden: {t.num_rows} rows")
+
+
+def golden_scrape_markdown():
+    """Mirror of __spark_entry__.q_scrape_markdown (sf0.01, limit=50,
+    scrape of page_url(0)): url, status_code, success, title,
+    discovered."""
+    pages = _pages(50)
+    url = page_url(0)
+    html = pages[url]
+    markdown = H.crawl_markdown(html)
+    success = len(markdown.strip()) >= 10
+    links = H.extract_links(html, url) if success else None
+    t = pa.table({
+        "url": pa.array([url], pa.string()),
+        "status_code": pa.array([200], pa.int32()),
+        "success": pa.array([success], pa.bool_()),
+        "title": pa.array([H.extract_title(html) if success else None],
+                          pa.string()),
+        "discovered": pa.array([len(links) if links is not None else None],
+                               pa.int32()),
+    })
+    pq.write_table(t, os.path.join(OUT, "scrape_markdown_sf001.parquet"))
+    print(f"scrape_markdown golden: success={success}")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    golden_crawl_trace()
+    golden_scrape_markdown()

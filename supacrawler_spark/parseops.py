@@ -1,0 +1,84 @@
+"""Parse-workflow data plane (SURVEY.md §3.3; parse/service.go).
+
+The reference's `/v1/parse` endpoint streams crawled/scraped pages,
+caps each page's markdown, and concatenates the survivors into one
+LLM prompt payload (processAllContentWithUnifiedLLM). The LLM call is
+out of scope here; the DATA PLANE is pure DataFrame work:
+
+- per-page cap: content[:15000] + "...[TRUNCATED]" when over the cap
+  (parse/service.go:537-540; ~4000 tokens/page);
+- unified concat: "=== SOURCE {i}: {label} ===\\n" + content + "\\n\\n"
+  per source, in deterministic arrival order (parse/service.go:
+  634-638 — the reference's arrival order is stream order; the batch
+  determinization orders by doc_id, the analog of crawl order).
+
+Byte-vs-char nuance: Go slices bytes (len(rawContent) > 15000);
+Spark/DuckDB substring is character-based. They agree on ASCII; the
+cross-engine oracle requires only Spark==DuckDB, which holds in
+characters.
+
+Scale: the window rank and the grouped concat share the job_id
+partitioning (one shuffle, reused exchange); per-group payloads are
+bounded by n_sources x cap, and the output carries md5(prompt) rather
+than the megabyte prompt itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PARSE_CONTENT_CAP = 15_000   # parse/service.go:538
+TRUNCATION_MARK = "...[TRUNCATED]"
+
+
+def capped_content(col, cap: int = PARSE_CONTENT_CAP):
+    """The per-page content cap (parse/service.go:537-540)."""
+    return F.when(
+        F.length(col) > cap,
+        F.concat(F.substring(col, 1, cap), F.lit(TRUNCATION_MARK)),
+    ).otherwise(col)
+
+
+def unified_prompt(df: DataFrame, job_col: str = "job_id",
+                   ord_col: str = "doc_id", label_col: str = "label",
+                   content_col: str = "content") -> DataFrame:
+    """Group rows into per-job unified LLM payloads
+    (processAllContentWithUnifiedLLM, parse/service.go:616-665).
+
+    Returns (job_id, n_sources, total_chars, prompt_md5). The source
+    banner is byte-identical to the reference's
+    ``=== SOURCE %d: %s ===\\n`` + content + ``\\n\\n``.
+    """
+    w = Window.partitionBy(job_col).orderBy(ord_col)
+    src = F.concat(
+        F.lit("=== SOURCE "), F.row_number().over(w).cast("string"),
+        F.lit(": "), F.col(label_col), F.lit(" ===\n"),
+        F.col(content_col), F.lit("\n\n"))
+    rows = df.select(job_col, ord_col, F.col(content_col).alias("_c"),
+                     src.alias("_src"))
+    # array_sort on (ord, src) structs keeps the concat deterministic
+    # regardless of collect_list's arrival order
+    parts = F.array_sort(F.collect_list(F.struct(
+        F.col(ord_col).alias("o"), F.col("_src").alias("s"))))
+    return (rows.groupBy(job_col).agg(
+        F.count("*").alias("n_sources"),
+        F.sum(F.length("_c")).alias("total_chars"),
+        F.md5(F.array_join(F.transform(parts, lambda x: x["s"]), ""))
+        .alias("prompt_md5")))
+
+
+def parse_prep(spark, sf_dir, cap: int = PARSE_CONTENT_CAP,
+               n_jobs: int = 50, rep: int = 40) -> DataFrame:
+    """Driver query: the parse data plane over the documents table.
+    Text is repeated to realistic page-markdown size (2k-22k chars) so
+    the 15,000-char cap genuinely fires on a subset of rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.repeat(F.concat(F.col("text"), F.lit(" ")), rep)
+    d = docs.select(
+        (F.col("doc_id") % n_jobs).alias("job_id"),
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("label"),
+        capped_content(r, cap).alias("content"))
+    return unified_prompt(d)

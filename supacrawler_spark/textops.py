@@ -204,6 +204,39 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.8,
             .select("doc_a", "doc_b", "n_inter", "jaccard"))
 
 
+def lsh_verified_pairs(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """The scale path for near-dup verification: exact n-gram Jaccard
+    computed ONLY for LSH candidate pairs (minhash_lsh_pairs), over the
+    FULL corpus — no doc_id bound, no raw shingle self-join.
+
+    Scale shape: candidates are a vanishing fraction of docs, so the
+    candidate-doc id set broadcasts; the heavy shingle table is
+    semi-join-filtered map-side before any shuffle, and the
+    intersection join only ever touches candidate-doc shingles. A hot
+    shingle shared by non-candidate docs never enters a join."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sh = shingles(_docs(spark, sf_dir)).distinct()
+    cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
+                 .union(pairs.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (a.join(F.broadcast(pairs), "doc_a")
+             .join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+         .withColumn("jaccard",
+                     F.col("n_inter") /
+                     (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_inter", "jaccard"))
+
+
 def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
     """SimHash: per token, bit b of md5(token) votes +1/-1; the
     fingerprint bit is the sign of the vote sum. Bits come from the
