@@ -87,7 +87,8 @@ def make_extractor(include_html: bool, fresh: bool):
             # marshalling dominated the Arrow batch cost before
             cols = {c: pdf[c].tolist() for c in
                     ("url", "iter", "depth", "crawl_ord", "seed_rank",
-                     "seed_host", "parent_ord", "pattern_ok", "robots_ok",
+                     "seed_host", "host", "url_hash", "parent_ord",
+                     "link_pos", "attempt", "pattern_ok", "robots_ok",
                      "html")}
             out = {c: [] for c in out_cols}
             for i in range(len(pdf)):
@@ -152,6 +153,11 @@ def make_extractor(include_html: bool, fresh: bool):
                 out["crawl_ord"].append(int(cols["crawl_ord"][i]))
                 out["seed_rank"].append(int(cols["seed_rank"][i]))
                 out["seed_host"].append(cols["seed_host"][i])
+                out["host"].append(cols["host"][i])
+                out["url_hash"].append(int(cols["url_hash"][i]))
+                out["parent_ord"].append(int(cols["parent_ord"][i]))
+                out["link_pos"].append(int(cols["link_pos"][i]))
+                out["attempt"].append(int(cols["attempt"][i]))
                 out["status_code"].append(status)
                 out["success"].append(success)
                 out["error"].append(error)
@@ -205,4 +211,5 @@ def expand_candidates(
             F.col("url"), F.col("disallow_prefixes"), F.col("allow_prefixes"))
         ).drop("allow_prefixes", "disallow_prefixes")
     cand = cand.filter(match_patterns_udf(patterns)(F.col("url")))
-    return cand.withColumn("priority", F.lit(0.0))
+    return (cand.withColumn("priority", F.lit(0.0))
+            .withColumn("attempt", F.lit(0)))

@@ -154,6 +154,7 @@ def crawl_oracle(
         res.waves.append(len(selected))
 
         new_candidates = []
+        retry_rows = []
         for row in selected:
             ord_ = next_ord
             next_ord += 1
@@ -165,16 +166,20 @@ def crawl_oracle(
             pattern_ok = (not is_seed) or U.matches_pattern(url, params.patterns)
             fetch_robots_ok = (not params.fresh) or robots_ok(url)
 
+            failed = False
             if pattern_ok:
                 if not fetch_robots_ok:
                     res.errors[url] = ERR_ROBOTS
                     status = 403
+                    failed = True
                 elif html is None:
                     res.errors[url] = ERR_LOW_QUALITY
+                    failed = True
                 else:
                     markdown = H.crawl_markdown(html)
                     if len(markdown.strip()) < 10:
                         res.errors[url] = ERR_LOW_QUALITY
+                        failed = True
                     else:
                         links = H.extract_links(html, url)
                         rec = dict(
@@ -190,6 +195,16 @@ def crawl_oracle(
                         all_pages[url] = rec
                         successes += 1
             res.trace.append((ord_, wave, row["depth"], url, status))
+
+            # F9 retry: a failed fetch releases its slot and re-enters
+            # the frontier with its original crawl-order key, up to
+            # max_retries total attempts (crawl/service.go:564-571;
+            # TASK_MAX_RETRIES config.go:90). Bypasses the discovery
+            # dedup — processed map and links map are separate states.
+            if (params.retry_failures and failed
+                    and row.get("attempt", 0) < params.max_retries - 1):
+                retry_rows.append(
+                    {**row, "attempt": row.get("attempt", 0) + 1})
 
             # discovery/expansion (the mapper)
             if (html is not None and row["depth"] < D
@@ -232,7 +247,8 @@ def crawl_oracle(
             if cur is None or k < (cur["depth"], cur["parent_ord"],
                                    cur["link_pos"], cur["url"]):
                 merged[row["url"]] = row
-        frontier = list(merged.values())
+        # retry rows re-enter regardless of the seen set
+        frontier = list(merged.values()) + retry_rows
         wave += 1
 
     # truncation (crawl/service.go:373-386, determinized by crawl_ord)

@@ -22,6 +22,13 @@ class CrawlParams:
     #                                     crawl/service.go:323-331;
     #                                     inherently nondeterministic,
     #                                     so excluded from trace tests)
+    retry_failures: bool = False        # F9: a failed fetch releases its
+    #                                     budget slot and the URL is
+    #                                     re-enqueued (delete(processed,u)
+    #                                     + releaseSlot, crawl/service.go:
+    #                                     564-571), up to max_retries
+    #                                     total attempts
+    max_retries: int = 3                # TASK_MAX_RETRIES (config.go:90)
 
     def __post_init__(self):
         self.patterns = tuple(self.patterns or ())

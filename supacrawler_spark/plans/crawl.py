@@ -39,7 +39,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from supacrawler_spark import urlkit as U
@@ -177,7 +177,7 @@ def _seed_frontier(spark, seeds) -> DataFrame:
     for raw_url, rank in sorted(seeds, key=lambda s: s[1]):
         cu = U.canonical_url(raw_url)
         rows.append((cu, U.extract_host(cu), U.url_hash64(cu), 0, -1,
-                     int(rank), int(rank), U.extract_host(cu), 0.0))
+                     int(rank), int(rank), U.extract_host(cu), 0.0, 0))
     return spark.createDataFrame(rows, FRONTIER_SCHEMA)
 
 
@@ -410,10 +410,12 @@ def run_crawl(
             hit = c.join(
                 F.broadcast(cacheable.select(
                     "url", "iter", "depth", "crawl_ord", "seed_rank",
-                    "seed_host")), "url", "inner")
+                    "seed_host", "host", "url_hash", "parent_ord",
+                    "link_pos", "attempt")), "url", "inner")
             cache_hits = hit.select(
                 "url", "iter", "depth", "crawl_ord", "seed_rank",
-                "seed_host", "status_code",
+                "seed_host", "host", "url_hash", "parent_ord",
+                "link_pos", "attempt", "status_code",
                 F.lit(True).alias("success"),
                 F.lit(None).cast("string").alias("error"),
                 "title", "markdown", "text", "links", "discovery",
@@ -447,15 +449,17 @@ def run_crawl(
                 cache_hits.select(*[f.name for f in RESULT_SCHEMA.fields]))
         res_path = os.path.join(state_dir, "results", f"{it:05d}")
         t_fetch = time.time()
+        # per-wave aggregates ride the write actions as observed
+        # metrics — zero standalone aggregation jobs per wave (every
+        # saved action is ~0.5-1s of fixed, non-scaling driver latency)
+        obs_res = Observation(f"res_{run_id}_{it}")
+        results = results.observe(
+            obs_res, F.count(F.lit(1)).alias("sched"),
+            F.sum(F.col("success").cast("long")).alias("succ"))
         _write(results, res_path)
+        res_m = obs_res.get
         stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
         res_df = spark.read.parquet(res_path)
-
-        res_agg = res_df.agg(
-            F.count("*").alias("a"),
-            F.sum(F.col("success").cast("long")).alias("b")).select(
-            F.lit("res").alias("k"), "a", "b",
-            F.lit(None).cast("long").alias("c"))
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -507,6 +511,23 @@ def run_crawl(
         else:
             new_cand = spark.createDataFrame([], FRONTIER_SCHEMA)
 
+        # F9 retry: a failed fetch releases its budget slot and the URL
+        # re-enters the frontier (delete(processed,u) + releaseSlot,
+        # crawl/service.go:564-571) up to max_retries total attempts
+        # (TASK_MAX_RETRIES, config.go:90). Retry rows keep their
+        # original crawl-order key (depth, parent_ord, link_pos) and
+        # bypass the known-set anti-join (is_new=false: the processed
+        # map and the mapper's discovery dedup are separate states).
+        retry_rows = None
+        if params.retry_failures:
+            retry_rows = (res_df.filter(
+                F.col("error").isNotNull()
+                & (F.col("attempt") < params.max_retries - 1))
+                .select("url", "host", "url_hash", "depth", "parent_ord",
+                        "link_pos", "seed_rank", "seed_host",
+                        F.lit(0.0).alias("priority"),
+                        (F.col("attempt") + 1).alias("attempt")))
+
         # 6. frontier commit. Seed-pointing candidates stay in the
         # file with is_new=true (they consumed discovery budget and
         # must stay in `known`) but are never scheduled — the read
@@ -516,26 +537,28 @@ def run_crawl(
             deferred.select(*FRONTIER_SCHEMA.fieldNames())
             .withColumn("is_new", F.lit(False))
             .unionByName(new_cand.withColumn("is_new", F.lit(True))))
+        if retry_rows is not None:
+            next_frontier = next_frontier.unionByName(
+                retry_rows.select(*FRONTIER_SCHEMA.fieldNames())
+                .withColumn("is_new", F.lit(False)))
         fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
-        _write(next_frontier, fr_path)
-        raw = spark.read.parquet(fr_path)
         sched_cond = ~(F.col("is_new") & F.col("url").isin(seed_urls))
-        fr_agg = raw.agg(
-            F.sum(F.col("is_new").cast("long")).alias("a"),
-            F.sum(sched_cond.cast("long")).alias("b"),
+        obs_fr = Observation(f"fr_{run_id}_{it}")
+        next_frontier = next_frontier.observe(
+            obs_fr,
+            F.sum(F.col("is_new").cast("long")).alias("new"),
+            F.sum(sched_cond.cast("long")).alias("sched"),
             F.approx_count_distinct(
-                F.when(sched_cond, F.col("host"))).alias("c")).select(
-            F.lit("fr").alias("k"), "a", "b", "c")
-        # ONE action for both per-wave aggregates (results stats +
-        # frontier counts + next wave's host estimate): every saved
-        # action is ~0.5-1s of fixed driver latency per wave
+                F.when(sched_cond, F.col("host"))).alias("hosts"))
         t_s = time.time()
-        rows = {r["k"]: r for r in res_agg.unionByName(fr_agg).collect()}
-        wave_sched = int(rows["res"]["a"] or 0)
-        wave_succ = int(rows["res"]["b"] or 0)
-        n_new = int(rows["fr"]["a"] or 0)
-        n_frontier = int(rows["fr"]["b"] or 0)
-        hosts_est = int(rows["fr"]["c"] or 0)
+        _write(next_frontier, fr_path)
+        fr_m = obs_fr.get
+        raw = spark.read.parquet(fr_path)
+        wave_sched = int(res_m["sched"] or 0)
+        wave_succ = int(res_m["succ"] or 0)
+        n_new = int(fr_m["new"] or 0)
+        n_frontier = int(fr_m["sched"] or 0)
+        hosts_est = int(fr_m["hosts"] or 0)
         stage_ms["agg"] = int((time.time() - t_s) * 1000)
         if _rank_cache is not None:
             _rank_cache.unpersist()
@@ -582,8 +605,11 @@ def run_crawl(
     run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
                    manifest=manifest, link_limit=L)
     n_res = min(successes, L) if L > 0 else successes
+    # distinct urls: with retry_failures a url may have one error row
+    # per attempt but is one failed page (the oracle's errors dict)
     total_err = run._results_all().filter(
-        F.col("error").isNotNull()).count() if manifest else 0
+        F.col("error").isNotNull()
+    ).select("url").distinct().count() if manifest else 0
     run.stats = dict(total_pages=n_res + total_err,
                      successful_pages=n_res, failed_pages=total_err,
                      waves=len(manifest), urls_scheduled=next_ord,

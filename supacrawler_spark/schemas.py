@@ -28,6 +28,7 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("seed_rank", T.IntegerType()),
     T.StructField("seed_host", T.StringType()),
     T.StructField("priority", T.DoubleType()),
+    T.StructField("attempt", T.IntegerType()),   # F9 retry counter
 ])
 
 SEEN_SCHEMA = T.StructType([
@@ -64,6 +65,12 @@ RESULT_SCHEMA = T.StructType([
     T.StructField("crawl_ord", T.LongType()),
     T.StructField("seed_rank", T.IntegerType()),
     T.StructField("seed_host", T.StringType()),
+    # engine-internal frontier passthrough (retry re-enqueue, F9)
+    T.StructField("host", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("parent_ord", T.LongType()),
+    T.StructField("link_pos", T.IntegerType()),
+    T.StructField("attempt", T.IntegerType()),
     T.StructField("status_code", T.IntegerType()),
     T.StructField("success", T.BooleanType()),
     T.StructField("error", T.StringType()),

@@ -126,6 +126,34 @@ def test_dangling_seed_error_path(spark, web):
                for e in orc.errors.values())
 
 
+def test_retry_failures_trace_equivalence(spark, web):
+    """F9: with retry_failures on, failed fetches re-enter the frontier
+    up to max_retries total attempts (crawl/service.go:564-571;
+    TASK_MAX_RETRIES config.go:90) — trace-equivalent to the oracle,
+    and the retries actually fire (dangling /void links 404 forever)."""
+    from collections import Counter
+    run, orc = _run_case(
+        spark, web,
+        CrawlParams(depth=3, link_limit=60, retry_failures=True))
+    url_counts = Counter(t[3] for t in orc.trace)
+    assert max(url_counts.values()) == 3, \
+        "scenario must exhaust max_retries"
+
+
+def test_retry_dangling_seed(spark, web):
+    """A failing seed is itself retried (seeds bypass the known set on
+    both sides)."""
+    from collections import Counter
+    run, orc = _run_case(
+        spark, web,
+        CrawlParams(depth=2, link_limit=40, retry_failures=True,
+                    max_retries=2),
+        dangling=True)
+    seed_miss = "https://h1.example.org/void/seedmiss"
+    url_counts = Counter(t[3] for t in orc.trace)
+    assert url_counts[seed_miss] == 2
+
+
 def test_shuffle_fetch_path_equals_broadcast(spark, web, monkeypatch):
     """Forcing the SHUFFLE_HASH fetch-join strategy (the large-wave
     path) must produce an identical crawl — the broadcast gate is a

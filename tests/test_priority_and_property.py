@@ -21,7 +21,7 @@ def test_priority_column_orders_frontier(spark, web):
     for i in range(20):
         url = f"https://h.example.org/p{i}"
         rows.append((url, "h.example.org", U.url_hash64(url), 1, 0, i, 0,
-                     "h.example.org", 1.0 if i >= 10 else 0.0))
+                     "h.example.org", 1.0 if i >= 10 else 0.0, 0))
     f = spark.createDataFrame(rows, FRONTIER_SCHEMA)
     selected, deferred, _ = politeness_select(f, None, default_budget=10,
                                            hint_count=20)
