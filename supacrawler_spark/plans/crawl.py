@@ -35,6 +35,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -53,7 +54,12 @@ from supacrawler_spark.operators.fetch import (
 from supacrawler_spark.operators.frontier import order_exprs, politeness_select
 from supacrawler_spark.operators.rank import ordered_row_number
 from supacrawler_spark.params import CrawlParams
-from supacrawler_spark.schemas import FRONTIER_SCHEMA, RESULT_SCHEMA
+from supacrawler_spark.schemas import (
+    FRONTIER_DISK_SCHEMA,
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    RESULT_SCHEMA,
+)
 from supacrawler_spark.sources import prepare_pages
 
 BLOOM_THRESHOLD = 100_000
@@ -86,8 +92,8 @@ class CrawlRun:
         if not self.manifest or not os.path.isdir(p):
             # zero committed waves (e.g. politeness starved wave 0)
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        return (self.spark.read.option("recursiveFileLookup", "true")
-                .parquet(p))
+        return (self.spark.read.schema(RESULT_SCHEMA)
+                .option("recursiveFileLookup", "true").parquet(p))
 
     def _p(self, name: str, it: int) -> str:
         return os.path.join(self.state_dir, name, f"{it:05d}")
@@ -122,7 +128,8 @@ class CrawlRun:
 
     @property
     def lineage(self) -> DataFrame:
-        return (self.spark.read.option("recursiveFileLookup", "true")
+        return (self.spark.read.schema(LINEAGE_SCHEMA)
+                .option("recursiveFileLookup", "true")
                 .parquet(os.path.join(self.state_dir, "lineage")))
 
 
@@ -167,7 +174,7 @@ def _read_frontier(spark, path: str, seed_urls) -> DataFrame:
     """Schedulable frontier view of a committed frontier file: the
     is_new seed-pointing rows are known-set-only entries, never
     scheduled."""
-    raw = spark.read.parquet(path)
+    raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(path)
     return (raw.filter(~(F.col("is_new") & F.col("url").isin(seed_urls)))
             .select(*FRONTIER_SCHEMA.fieldNames()))
 
@@ -212,6 +219,7 @@ def run_crawl(
     html, so cached and fresh runs are bit-identical (tested).
     """
     params = params or CrawlParams()
+    t_init = time.time()
     own_state = state_dir is None
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="supacrawler_state_")
@@ -302,6 +310,30 @@ def run_crawl(
     # covers resume — no separate rebuild path needed).
     bloom = BloomState(os.path.join(state_dir, "bloom")) if use_bloom else None
     bloom_built = False
+    # incremental bloom adds run on a background thread: the add only
+    # has to complete before the NEXT wave's probe executes, so it
+    # overlaps the next wave's (much longer) fetch+extract job instead
+    # of serializing ~0.3-0.5s of fixed latency into every wave
+    bloom_pending: list = []
+    bloom_errors: list = []
+
+    def _bloom_add_async(df):
+        def work():
+            try:
+                bloom.add(df)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                bloom_errors.append(e)
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        bloom_pending.append(th)
+
+    def _bloom_join():
+        """A silently failed add would turn seen URLs into bloom false
+        negatives, which the anti-join TRUSTS — so failures propagate."""
+        while bloom_pending:
+            bloom_pending.pop().join()
+        if bloom_errors:
+            raise bloom_errors[0]
 
     def known_df() -> "DataFrame | None":
         """The mapper's `links` set = all capped candidates ever
@@ -312,7 +344,8 @@ def run_crawl(
         consumer is a LEFT ANTI join)."""
         p = os.path.join(state_dir, "frontier")
         if os.path.exists(p):
-            return (spark.read.option("recursiveFileLookup", "true")
+            return (spark.read.schema(FRONTIER_DISK_SCHEMA)
+                    .option("recursiveFileLookup", "true")
                     .parquet(p).filter("is_new")
                     .select("url", "url_hash"))
         return None
@@ -328,7 +361,16 @@ def run_crawl(
 
     # ---- wave loop ----------------------------------------------------------
     it = it0
+    t_loop = time.time()
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    # AQE off for the wave loop: adaptive execution materializes every
+    # exchange as a query stage with a driver round-trip — pure fixed
+    # latency on iterative micro-waves. The two things AQE would buy
+    # are already done explicitly here: shuffle partitions are sized to
+    # the wave (wave_shuffle below) and hot-host skew is pre-salted
+    # (operators/frontier.py). Restored after the loop.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     cores = spark.sparkContext.defaultParallelism
     t_start = time.time()
     deadline_hit = False
@@ -394,8 +436,13 @@ def run_crawl(
         # 4. fetch (corpus join) + extraction, committed to state.
         # The global-rank window leaves `scheduled` in ONE partition —
         # repartition first or extraction runs on a single core.
+        # `scheduled` appears 3x in the fetch-join plan (hits broadcast,
+        # miss probe, hit-url broadcast): persist it so the politeness/
+        # rank window chain materializes once per wave, not per
+        # occurrence.
         scheduled = scheduled.repartition(
-            max(8, spark.sparkContext.defaultParallelism), "url")
+            max(8, spark.sparkContext.defaultParallelism), "url").persist()
+        wave_caches.append(scheduled)
 
         # J3 scrape cache: only successful prior rows are cached
         # (ScrapeWithCache caches after isValidResult,
@@ -459,7 +506,7 @@ def run_crawl(
         _write(results, res_path)
         res_m = obs_res.get
         stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
-        res_df = spark.read.parquet(res_path)
+        res_df = spark.read.schema(RESULT_SCHEMA).parquet(res_path)
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -483,6 +530,8 @@ def run_crawl(
             if kdf is not None:
                 bloom_active = bloom is not None and \
                     discovered_cnt > BLOOM_THRESHOLD
+                # the probe below must see every add issued so far
+                _bloom_join()
                 if bloom_active and not bloom_built:
                     bloom.add(kdf.select("url_hash"))
                     bloom_built = True
@@ -553,7 +602,7 @@ def run_crawl(
         t_s = time.time()
         _write(next_frontier, fr_path)
         fr_m = obs_fr.get
-        raw = spark.read.parquet(fr_path)
+        raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(fr_path)
         wave_sched = int(res_m["sched"] or 0)
         wave_succ = int(res_m["succ"] or 0)
         n_new = int(fr_m["new"] or 0)
@@ -575,7 +624,7 @@ def run_crawl(
         frontier = _read_frontier(spark, fr_path, seed_urls)
         if not limit_reached:
             if bloom_built and n_new:
-                bloom.add(raw.filter("is_new").select("url_hash"))
+                _bloom_add_async(raw.filter("is_new").select("url_hash"))
             if ML is not None and discovered_cnt + n_new >= ML:
                 limit_reached = True
             discovered_cnt += n_new
@@ -598,7 +647,10 @@ def run_crawl(
             f.write(json.dumps(line) + "\n")
         it += 1
 
+    t_post = time.time()
+    _bloom_join()  # bloom state must be durable before the run returns
     spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+    spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
     if cache_pages:
         pages_prep.unpersist()
     pages_urls.unpersist()
@@ -613,7 +665,10 @@ def run_crawl(
     run.stats = dict(total_pages=n_res + total_err,
                      successful_pages=n_res, failed_pages=total_err,
                      waves=len(manifest), urls_scheduled=next_ord,
-                     deadline_hit=deadline_hit)
+                     deadline_hit=deadline_hit,
+                     wall_preloop_ms=int((t_loop - t_init) * 1000),
+                     wall_waves_ms=int((t_post - t_loop) * 1000),
+                     wall_postloop_ms=int((time.time() - t_post) * 1000))
     return run
 
 

@@ -31,6 +31,14 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("attempt", T.IntegerType()),   # F9 retry counter
 ])
 
+# On-disk frontier file layout: FRONTIER_SCHEMA + the is_new flag
+# (True = first-ever emission of the url -> row doubles as the known-
+# set entry; False = deferred re-appearance or F9 retry row). Reads
+# supply this schema explicitly: parquet footer inference is a ~0.2-0.5s
+# driver job per read, pure non-scaling per-wave latency.
+FRONTIER_DISK_SCHEMA = T.StructType(
+    list(FRONTIER_SCHEMA.fields) + [T.StructField("is_new", T.BooleanType())])
+
 SEEN_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("url_hash", T.LongType()),
