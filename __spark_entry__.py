@@ -364,6 +364,90 @@ def q_media_digest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Group F — scrape-service page diagnostics (F8 / A4)
+# ---------------------------------------------------------------------------
+
+# Synthetic scrape responses shared (as literal SQL) by both engines:
+# a deterministic slice of documents gets Cloudflare challenge markers
+# injected into status/title/content.
+_CF_STATUS_SQL = "CASE WHEN doc_id % 3 = 0 THEN 403 ELSE 200 END"
+_CF_TITLE_SQL = (
+    "CASE CAST(doc_id % 9 AS INT) "
+    "WHEN 0 THEN 'Just a moment...' "
+    "WHEN 3 THEN 'Attention Required! | Cloudflare' "
+    "WHEN 6 THEN 'Checking your browser before accessing' "
+    "ELSE 'Document ' || CAST(doc_id AS STRING) END"
+)
+_CF_CONTENT_SQL = (
+    "CASE CAST(doc_id % 15 AS INT) "
+    "WHEN 0 THEN text || ' Cloudflare Ray ID: 8f2a91c4' "
+    "WHEN 6 THEN 'Waiting for example.org to respond...' || text "
+    "ELSE text END"
+)
+
+# Derived (initial, final) signature pairs for the change heuristics —
+# integer/md5 arithmetic both engines express identically, covering
+# every clause: text growth, empty-page appearance, element growth,
+# loading-indicator resolution, link growth, hash-change fallback.
+_SIG_PAIR_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 0 ELSE n_chars END AS i_text, "
+    "n_chars + (doc_id % 400) AS f_text, "
+    "doc_id % 100 AS i_elem, (doc_id % 100) + (doc_id % 77) AS f_elem, "
+    "doc_id % 10 AS i_link, (doc_id % 10) + (doc_id % 9) AS f_link, "
+    "doc_id % 3 AS i_async, doc_id % 2 AS f_async, "
+    "md5(text) AS i_hash, "
+    "CASE WHEN doc_id % 5 = 0 THEN md5(text || 'x') "
+    "ELSE md5(text) END AS f_hash"
+)
+
+
+def q_cloudflare_detect(spark, sf_dir):
+    """F8: the Cloudflare-challenge predicate over synthetic scrape
+    responses — native contains algebra, no UDF, map-only."""
+    from supacrawler_spark import scrapeops
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_CF_STATUS_SQL} AS status_code",
+        f"{_CF_TITLE_SQL} AS title", f"{_CF_CONTENT_SQL} AS content")
+    return d.select(
+        "doc_id",
+        scrapeops.cloudflare_blocked(
+            F.col("status_code"), F.col("title"), F.col("content")
+        ).alias("cf_blocked"))
+
+
+def q_js_change_detect(spark, sf_dir):
+    """A4: the JS-rendering change heuristics over derived signature
+    pairs — native integer/boolean algebra, map-only."""
+    from supacrawler_spark import scrapeops
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", *_SIG_PAIR_SQL.split(", "))
+    return d.select(
+        "doc_id",
+        scrapeops.significant_change(
+            F.col("i_text"), F.col("i_elem"), F.col("i_link"),
+            F.col("i_async"), F.col("i_hash"), F.col("f_text"),
+            F.col("f_elem"), F.col("f_link"), F.col("f_async"),
+            F.col("f_hash"),
+        ).alias("changed"))
+
+
+def q_content_signature(spark, sf_dir):
+    """A4: the content-signature kernel over real synthesized html
+    (one Arrow pass; html pruned immediately after). Golden-parquet
+    oracle: the same kernel run by scripts/make_goldens.py outside
+    Spark over the same deterministic pages."""
+    from supacrawler_spark import scrapeops
+    from supacrawler_spark.sources import gen_pages_df
+
+    pages_df, _ = gen_pages_df(spark, sf_dir, limit=60)
+    sig = scrapeops.content_signature(pages_df.select("url", "html"))
+    return sig.select(
+        "url", "signature.text_length", "signature.element_count",
+        "signature.link_count", "signature.async_load_indicators",
+        "signature.content_hash")
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -428,6 +512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        # scrape-service page diagnostics
+        "cloudflare_detect": q_cloudflare_detect,
+        "js_change_detect": q_js_change_detect,
+        "content_signature": q_content_signature,
         # Spark-only (rows-only check)
         "crawl_trace": q_crawl_trace,
         "scrape_markdown": q_scrape_markdown,
@@ -774,4 +862,36 @@ def oracle_sql() -> dict[str, str]:
         "scrape_markdown": (
             "SELECT url, status_code, success, title, discovered FROM "
             f"'{_GOLDENS}/scrape_markdown_sf001.parquet'"),
+        # F8/A4: the scrape-service diagnostics are pure predicate
+        # algebra — the twin re-expresses isCloudflareBlocked /
+        # hasSignificantContentChange directly in SQL.
+        "cloudflare_detect": (
+            "WITH r AS (SELECT doc_id, "
+            f"{_CF_STATUS_SQL} AS status_code, "
+            f"{_CF_TITLE_SQL.replace('AS STRING', 'AS VARCHAR')} AS title, "
+            f"{_CF_CONTENT_SQL} AS content FROM documents) "
+            "SELECT doc_id, status_code = 403 AND ("
+            "contains(title, 'Just a moment') "
+            "OR contains(title, 'Checking your browser') "
+            "OR contains(title, 'Attention Required') "
+            "OR (contains(content, 'Waiting for') "
+            "    AND contains(content, 'to respond')) "
+            "OR (contains(content, 'Cloudflare') "
+            "    AND contains(content, 'Ray ID'))) AS cf_blocked FROM r"),
+        "js_change_detect": (
+            f"WITH s AS (SELECT doc_id, {_SIG_PAIR_SQL} FROM documents) "
+            "SELECT doc_id, ("
+            "(CASE WHEN i_text > 0 THEN (f_text - i_text) * 10 > i_text * 3 "
+            " ELSE f_text > 200 END) "
+            "OR (f_elem - i_elem) > 50 "
+            "OR (i_async - f_async) > 0 "
+            "OR (f_link - i_link) > 5 "
+            "OR (i_hash <> f_hash AND f_text > i_text + 100)) AS changed "
+            "FROM s"),
+        # A4 signature kernel: golden parquet (the same pure-Python
+        # kernel run outside Spark by scripts/make_goldens.py)
+        "content_signature": (
+            "SELECT url, text_length, element_count, link_count, "
+            "async_load_indicators, content_hash FROM "
+            f"'{_GOLDENS}/content_signature_sf001.parquet'"),
     }

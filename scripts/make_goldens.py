@@ -94,7 +94,30 @@ def golden_scrape_markdown():
     print(f"scrape_markdown golden: success={success}")
 
 
+def golden_content_signature():
+    """Mirror of __spark_entry__.q_content_signature (sf0.01,
+    limit=60): the pure signature kernel over the same deterministic
+    synthesized pages, no Spark."""
+    from supacrawler_spark.scrapeops import signature_of_html
+
+    pages = _pages(60)
+    urls = sorted(pages)
+    sigs = [signature_of_html(pages[u]) for u in urls]
+    cols = list(zip(*sigs))
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "text_length": pa.array(cols[0], pa.int32()),
+        "element_count": pa.array(cols[1], pa.int32()),
+        "link_count": pa.array(cols[2], pa.int32()),
+        "async_load_indicators": pa.array(cols[3], pa.int32()),
+        "content_hash": pa.array(cols[4], pa.string()),
+    })
+    pq.write_table(t, os.path.join(OUT, "content_signature_sf001.parquet"))
+    print(f"content_signature golden: {t.num_rows} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     golden_crawl_trace()
     golden_scrape_markdown()
+    golden_content_signature()

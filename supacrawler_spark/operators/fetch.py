@@ -52,11 +52,16 @@ def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
     """
     web = pages_prep.select(F.col("url_canon").alias("url"), "html")
     if small_wave:
-        hits = web.join(F.broadcast(scheduled), "url", "inner")
+        # ONE broadcast exchange of the wave, reused by the hits join
+        # and the hit-url semi join (identical subtree -> ReuseExchange;
+        # broadcasting the full slim frame for the semi join costs a few
+        # bytes/row more than a url projection but saves a whole
+        # broadcast build job per wave)
+        b_sched = F.broadcast(scheduled)
+        hits = web.join(b_sched, "url", "inner")
         urls = (pages_urls if pages_urls is not None
                 else pages_prep).select(F.col("url_canon").alias("url"))
-        hit_urls = urls.join(F.broadcast(scheduled.select("url")),
-                             "url", "left_semi")
+        hit_urls = urls.join(b_sched, "url", "left_semi")
         miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti"
                               ).withColumn("html",
                                            F.lit(None).cast("binary"))

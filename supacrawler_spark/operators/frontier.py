@@ -57,7 +57,22 @@ def politeness_select(
     the salted two-phase path engages (identical output, skew-proof).
     """
     f = frontier
-    if politeness_df is not None:
+    if isinstance(politeness_df, dict):
+        # small dim pre-collected by the caller: a literal MAP lookup
+        # instead of a broadcast join — saves one broadcast-build job
+        # per wave (the dim is identical every wave; a per-plan
+        # broadcast exchange cannot be reused across wave jobs)
+        if politeness_df:
+            kv = []
+            for h, b in politeness_df.items():
+                kv += [F.lit(h), F.lit(int(b))]
+            f = f.withColumn(
+                "_budget",
+                F.coalesce(F.create_map(*kv)[F.col("host")],
+                           F.lit(default_budget)))
+        else:
+            f = f.withColumn("_budget", F.lit(default_budget))
+    elif politeness_df is not None:
         pol = politeness_df.select("host", "max_parallel")
         f = f.join(F.broadcast(pol), "host", "left")
         f = f.withColumn(

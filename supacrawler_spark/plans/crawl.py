@@ -261,10 +261,23 @@ def run_crawl(
     # is a broadcastable dim by design, so this one-time driver action
     # is tiny at any scale.
     max_budget = default_host_budget
+    pol_arg = politeness_df
     if politeness_df is not None:
-        _mb = politeness_df.agg(F.max("max_parallel")).first()[0]
-        if _mb is not None:
-            max_budget = max(int(_mb), default_host_budget)
+        # Small dims (the norm: one row per throttled host) collapse to
+        # a driver dict -> literal MAP lookup in politeness_select: one
+        # collect here instead of a broadcast-build job EVERY wave.
+        # Large dims keep the broadcast-join path.
+        _rows = (politeness_df.select("host", "max_parallel")
+                 .limit(1025).collect())
+        if len(_rows) <= 1024:
+            pol_arg = {r["host"]: int(r["max_parallel"]) for r in _rows
+                       if r["max_parallel"] is not None}
+            if pol_arg:
+                max_budget = max(max(pol_arg.values()), default_host_budget)
+        else:
+            _mb = politeness_df.agg(F.max("max_parallel")).first()[0]
+            if _mb is not None:
+                max_budget = max(int(_mb), default_host_budget)
 
     # ---- init / resume ----------------------------------------------------
     manifest = []
@@ -276,6 +289,7 @@ def run_crawl(
         it0 = last["iter"] + 1
         next_ord = last["next_ord"]
         successes = last["successes"]
+        failures = last.get("failures")  # None on pre-upgrade state dirs
         discovered_cnt = last["discovered_cnt"]
         limit_reached = last["limit_reached"]
         run_id = last["run_id"]
@@ -293,6 +307,7 @@ def run_crawl(
         it0 = 0
         next_ord = 0
         successes = 0
+        failures = 0
         limit_reached = False
         run_id = uuid.uuid4().hex[:12]
         frontier = _seed_frontier(spark, seeds)
@@ -364,6 +379,30 @@ def run_crawl(
     t_loop = time.time()
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    base_opencost = spark.conf.get("spark.sql.files.openCostInBytes")
+    # Size the corpus-scan splits to the cluster, not the default
+    # 128 MB: the fetch join's hits (and the extraction UDF above
+    # them) inherit the SCAN's partitioning — on a modest corpus the
+    # default packs the whole table into a handful of splits and caps
+    # extraction at that many Python workers regardless of core count
+    # (measured: a 377 MB corpus scanned as ~7 splits pinned wave
+    # extraction at ~7/16 cores; 4->16-core scaling flatlined at ~2x).
+    # At 100-TB scale bytes/(3*cores) >> 128 MB and this is a no-op.
+    _cores = spark.sparkContext.defaultParallelism
+    try:
+        _corpus_bytes = sum(
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in pages_prep.inputFiles())
+    except Exception:  # non-file source (in-memory test frame)
+        _corpus_bytes = 0
+    if _corpus_bytes:
+        _split = min(128 * 1024 * 1024,
+                     max(4 * 1024 * 1024, _corpus_bytes // (3 * _cores)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(_split))
+        # default 4 MB open-cost re-packs small files into few splits
+        spark.conf.set("spark.sql.files.openCostInBytes",
+                       str(512 * 1024))
     # AQE off for the wave loop: adaptive execution materializes every
     # exchange as a query stage with a driver round-trip — pure fixed
     # latency on iterative micro-waves. The two things AQE would buy
@@ -397,7 +436,7 @@ def run_crawl(
         # above the salt threshold; plain per-host window below),
         # cached across the wave's two commits
         selected, deferred, _rank_cache = politeness_select(
-            frontier, politeness_df, default_host_budget,
+            frontier, pol_arg, default_host_budget,
             hint_count=n_frontier, persist=True)
 
         # 2. global rank in crawl order K; budget cut; crawl_ord
@@ -502,7 +541,8 @@ def run_crawl(
         obs_res = Observation(f"res_{run_id}_{it}")
         results = results.observe(
             obs_res, F.count(F.lit(1)).alias("sched"),
-            F.sum(F.col("success").cast("long")).alias("succ"))
+            F.sum(F.col("success").cast("long")).alias("succ"),
+            F.sum(F.col("error").isNotNull().cast("long")).alias("fail"))
         _write(results, res_path)
         res_m = obs_res.get
         stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
@@ -605,6 +645,8 @@ def run_crawl(
         raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(fr_path)
         wave_sched = int(res_m["sched"] or 0)
         wave_succ = int(res_m["succ"] or 0)
+        if failures is not None:
+            failures += int(res_m["fail"] or 0)
         n_new = int(fr_m["new"] or 0)
         n_frontier = int(fr_m["sched"] or 0)
         hosts_est = int(fr_m["hosts"] or 0)
@@ -637,6 +679,7 @@ def run_crawl(
         # 7. commit the wave
         line = dict(run_id=run_id, iter=it, scheduled=wave_sched,
                     wave_successes=wave_succ, successes=successes,
+                    failures=failures,
                     next_ord=next_ord, discovered_cnt=discovered_cnt,
                     limit_reached=limit_reached, n_frontier_next=n_frontier,
                     hosts_next=hosts_est,
@@ -651,17 +694,27 @@ def run_crawl(
     _bloom_join()  # bloom state must be durable before the run returns
     spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
     spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
+    spark.conf.set("spark.sql.files.openCostInBytes", base_opencost)
     if cache_pages:
         pages_prep.unpersist()
     pages_urls.unpersist()
     run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
                    manifest=manifest, link_limit=L)
     n_res = min(successes, L) if L > 0 else successes
-    # distinct urls: with retry_failures a url may have one error row
-    # per attempt but is one failed page (the oracle's errors dict)
-    total_err = run._results_all().filter(
-        F.col("error").isNotNull()
-    ).select("url").distinct().count() if manifest else 0
+    # Failed-page count: without retries every error url is scheduled
+    # exactly once, so the per-wave observed sums ARE the distinct
+    # count — no post-loop scan job (it was ~1-2s of fixed, non-scaling
+    # wall per run). With retry_failures a url may carry one error row
+    # per attempt (one failed page, the oracle's errors dict) — only
+    # then run the distinct-count job. Resumed pre-upgrade state dirs
+    # (no 'failures' in the manifest) also fall back to the scan.
+    if manifest and (params.retry_failures or failures is None):
+        total_err = run._results_all().filter(
+            F.col("error").isNotNull()
+        ).select("url").distinct().count()
+    else:
+        total_err = failures if manifest else 0
     run.stats = dict(total_pages=n_res + total_err,
                      successful_pages=n_res, failed_pages=total_err,
                      waves=len(manifest), urls_scheduled=next_ord,

@@ -1,0 +1,167 @@
+"""Scrape-service page diagnostics (SURVEY.md §2.2 F8, §2.4 A4).
+
+Batch re-expression of the reference's live-browser page checks:
+
+- ``cloudflare_blocked``: the Cloudflare-challenge detector
+  (isCloudflareBlocked, internal/core/scrape/service.go:1077-1107) as
+  a native Spark column expression — pure ``contains`` algebra over
+  (status_code, title, content), JVM-side, codegen-friendly.
+- ``signature_of_html`` / ``content_signature``: the page content
+  signature (getContentSignature, scrape/service.go:917-1015) —
+  visible-text length, element/link/loading-indicator counts and the
+  JS 32-bit rolling content hash — computed from static html by the
+  shared htmlkit DOM in one Arrow-batched pass.
+- ``significant_change``: the JS-rendering change heuristics
+  (hasSignificantContentChange, scrape/service.go:1017-1074) as a
+  native boolean column over an (initial, final) signature pair.
+
+Static-parse divergence (documented): the browser evaluates computed
+CSS (display:none / visibility:hidden) when collecting visible text
+and element counts; a batch engine over raw html bytes cannot, so
+hidden-by-stylesheet elements count as visible here. Inline
+``script/style/noscript`` exclusion — the part that matters for
+content pages — matches the reference exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from supacrawler_spark import htmlkit as H
+
+# querySelectorAll('*') filter list, scrape/service.go:955-961
+_NON_CONTENT_TAGS = frozenset(
+    ("script", "style", "noscript", "meta", "link", "title"))
+# treewalker reject list, scrape/service.go:936-939
+_TEXT_SKIP_TAGS = frozenset(("script", "style", "noscript"))
+# loading-indicator selector, scrape/service.go:966-969
+_LOADING_CLASSES = frozenset(
+    ("loading", "spinner", "skeleton", "placeholder", "loader", "shimmer"))
+
+SIGNATURE_SCHEMA = StructType([
+    StructField("text_length", IntegerType()),
+    StructField("element_count", IntegerType()),
+    StructField("link_count", IntegerType()),
+    StructField("async_load_indicators", IntegerType()),
+    StructField("content_hash", StringType()),
+])
+
+
+def _js_string_hash(text: str) -> str:
+    """The page's own change-detection hash (scrape/service.go:972-978):
+    ``h = ((h << 5) - h + charCodeAt(i)) | 0`` over UTF-16 code units,
+    rendered via JS Number.toString. 31*h with int32 wraparound."""
+    h = 0
+    # charCodeAt iterates UTF-16 code units, not code points
+    for b0, b1 in zip(*[iter(text.encode("utf-16-le"))] * 2):
+        c = b0 | (b1 << 8)
+        h = (31 * h + c) & 0xFFFFFFFF
+    if h >= 0x80000000:  # JS `hash & hash` coerces to signed int32
+        h -= 0x100000000
+    return str(h)
+
+
+def signature_of_html(html: "str | None") -> tuple:
+    """Pure kernel: (text_length, element_count, link_count,
+    async_load_indicators, content_hash) of one page."""
+    if html is None:
+        return 0, 0, 0, 0, "0"
+    root = H.parse_html(html)
+
+    # visible text: raw textContent concatenation (no collapsing —
+    # the treewalker appends node.textContent verbatim) of body text
+    # nodes outside script/style/noscript subtrees
+    body = H._find_body(root)
+    parts: list[str] = []
+
+    def walk_text(n):
+        for c in n.children:
+            if c.tag is None:
+                parts.append(c.text)
+            elif c.tag not in _TEXT_SKIP_TAGS:
+                walk_text(c)
+
+    walk_text(body)
+    visible_text = "".join(parts)
+
+    elements = links = loaders = 0
+    for n in H._walk(root):
+        if n.tag is None:
+            continue
+        if n.tag not in _NON_CONTENT_TAGS:
+            elements += 1
+        if n.tag == "a" and "href" in n.attrs:
+            links += 1
+        classes = n.attrs.get("class", "")
+        if (
+            (classes and _LOADING_CLASSES & set(classes.lower().split()))
+            or "data-loading" in n.attrs
+            or "data-lazy" in n.attrs
+            or n.attrs.get("aria-busy") == "true"
+        ):
+            loaders += 1
+    return (len(visible_text), elements, links, loaders,
+            _js_string_hash(visible_text))
+
+
+@pandas_udf(SIGNATURE_SCHEMA)
+def _signature_udf(html: pd.Series) -> pd.DataFrame:
+    rows = [signature_of_html(
+        bytes(h).decode("utf-8", "replace") if h is not None else None)
+        for h in html]
+    return pd.DataFrame(rows, columns=[f.name for f in SIGNATURE_SCHEMA])
+
+
+def content_signature(df: DataFrame, html_col: str = "html",
+                      out_col: str = "signature") -> DataFrame:
+    """A4: add the content-signature struct column (one Arrow batch
+    pass; the html column is pruned immediately after, so fat bytes
+    never shuffle onward)."""
+    return df.withColumn(out_col, _signature_udf(F.col(html_col)))
+
+
+def cloudflare_blocked(status_code: Column, title: Column,
+                       content: Column) -> Column:
+    """F8 (isCloudflareBlocked, scrape/service.go:1077-1107): a 403
+    whose title or content carries a Cloudflare challenge marker.
+    Pure JVM-side ``contains`` algebra — no UDF in this predicate."""
+    t = F.coalesce(title, F.lit(""))
+    c = F.coalesce(content, F.lit(""))
+    return (status_code == 403) & (
+        t.contains("Just a moment")
+        | t.contains("Checking your browser")
+        | t.contains("Attention Required")
+        | (c.contains("Waiting for") & c.contains("to respond"))
+        | (c.contains("Cloudflare") & c.contains("Ray ID"))
+    )
+
+
+def significant_change(
+    i_text: Column, i_elem: Column, i_link: Column, i_async: Column,
+    i_hash: Column, f_text: Column, f_elem: Column, f_link: Column,
+    f_async: Column, f_hash: Column,
+) -> Column:
+    """A4 (hasSignificantContentChange, scrape/service.go:1017-1074):
+    OR of the five change heuristics over an (initial, final)
+    signature pair. The 30% text-growth test is expressed in exact
+    integer arithmetic (10*(f-i) > 3*i) — deterministic across
+    engines, no float-division hash drift."""
+    text_grew = F.when(
+        i_text > 0, (f_text - i_text) * 10 > i_text * 3
+    ).otherwise(f_text > 200)
+    return (
+        text_grew
+        | ((f_elem - i_elem) > 50)
+        | ((i_async - f_async) > 0)
+        | ((f_link - i_link) > 5)
+        | ((i_hash != f_hash) & (f_text > i_text + 100))
+    )
