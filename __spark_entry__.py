@@ -431,6 +431,28 @@ def q_js_change_detect(spark, sf_dir):
         ).alias("changed"))
 
 
+def q_retry_ladder(spark, sf_dir):
+    """S3: the retry-ladder strategy + deterministic header-profile
+    assignment over synthetic attempt counters — pure literal CASE
+    algebra (scrapeWithRetriesPlaywright scrape/service.go:91-119,
+    GetHeaderProfile headers.go:152-176)."""
+    from supacrawler_spark import fetchprofiles as FP
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).cast("int").alias("attempt"))
+    strat = FP.strategy_for_attempt(F.col("attempt"))
+    prof = FP.profile_for(strat, F.col("doc_id"))
+    return d.select(
+        "doc_id", "attempt", strat.alias("strategy"),
+        prof["user_agent"].alias("user_agent"))
+
+
+def q_screenshot_artifacts(spark, sf_dir):
+    """S8: the screenshot artifact pipeline over synthesized pages.
+    Golden-parquet oracle (the same pure renderer outside Spark)."""
+    from supacrawler_spark.screenshots import screenshot_artifacts
+    return screenshot_artifacts(spark, sf_dir, limit=60)
+
+
 def q_content_signature(spark, sf_dir):
     """A4: the content-signature kernel over real synthesized html
     (one Arrow pass; html pruned immediately after). Golden-parquet
@@ -516,6 +538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
         "content_signature": q_content_signature,
+        # retry ladder / token accounting / screenshot artifacts
+        "retry_ladder": q_retry_ladder,
+        "parse_tokens": parseops.parse_tokens,
+        "screenshot_artifacts": q_screenshot_artifacts,
         # Spark-only (rows-only check)
         "crawl_trace": q_crawl_trace,
         "scrape_markdown": q_scrape_markdown,
@@ -527,6 +553,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _retry_ladder_sql() -> str:
+    from supacrawler_spark import fetchprofiles as FP
+    strat = ("CASE WHEN doc_id % 4 >= 2 THEN 'bot_friendly' "
+             "WHEN doc_id % 4 = 1 THEN 'mobile_device' "
+             "ELSE 'modern_browser' END")
+    ua = FP.profile_sql(strat, "doc_id")
+    return (f"SELECT doc_id, CAST(doc_id % 4 AS INT) AS attempt, "
+            f"{strat} AS strategy, {ua} AS user_agent FROM documents")
 
 def _minhash_sql_core() -> str:
     """Shared shingle CTE (3-gram, distinct, docs with >= 3 tokens)."""
@@ -894,4 +929,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, text_length, element_count, link_count, "
             "async_load_indicators, content_hash FROM "
             f"'{_GOLDENS}/content_signature_sf001.parquet'"),
+        # S3 retry ladder: strategy CASE + the profile constants as a
+        # generated CASE (single source of truth: fetchprofiles.PROFILES)
+        "retry_ladder": _retry_ladder_sql(),
+        # A5 token accumulation over the parse_prep jobs
+        "parse_tokens": (
+            "WITH p AS (SELECT doc_id % 50 AS job_id, "
+            "CASE WHEN length(r) > 15000 THEN substr(r, 1, 15000) || "
+            "'...[TRUNCATED]' ELSE r END AS content FROM "
+            "(SELECT doc_id, repeat(text || ' ', 40) AS r "
+            "FROM documents)) "
+            "SELECT job_id, count(*) AS pages_processed, "
+            "CAST((sum(length(content)) + 3) // 4 AS BIGINT) "
+            "AS input_tokens, "
+            "CAST(2000 AS BIGINT) AS output_budget, "
+            "CAST((sum(length(content)) + 3) // 4 + 2000 AS BIGINT) "
+            "AS total_budget FROM p GROUP BY job_id"),
+        # S8 screenshot artifacts: golden parquet (same pure renderer)
+        "screenshot_artifacts": (
+            "SELECT url, device, viewport_w, viewport_h, format, name, "
+            "n_bytes, digest FROM "
+            f"'{_GOLDENS}/screenshot_artifacts_sf001.parquet'"),
     }

@@ -116,8 +116,40 @@ def golden_content_signature():
     print(f"content_signature golden: {t.num_rows} rows")
 
 
+def golden_screenshot_artifacts():
+    """Mirror of __spark_entry__.q_screenshot_artifacts (sf0.01,
+    limit=60, desktop): the pure stand-in renderer outside Spark."""
+    import hashlib
+
+    from supacrawler_spark.screenshots import (
+        DEVICE_VIEWPORTS,
+        artifact_name,
+        render_screenshot,
+    )
+
+    urls = sorted(_pages(60))
+    w, h, _ = DEVICE_VIEWPORTS["desktop"]
+    payloads = [render_screenshot(u) for u in urls]
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "device": pa.array(["desktop"] * len(urls), pa.string()),
+        "viewport_w": pa.array([w] * len(urls), pa.int32()),
+        "viewport_h": pa.array([h] * len(urls), pa.int32()),
+        "format": pa.array(["bmp"] * len(urls), pa.string()),
+        "name": pa.array([artifact_name(u, "19700101_000000")
+                          for u in urls], pa.string()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int32()),
+        "digest": pa.array([hashlib.md5(p).hexdigest() for p in payloads],
+                           pa.string()),
+    })
+    pq.write_table(t,
+                   os.path.join(OUT, "screenshot_artifacts_sf001.parquet"))
+    print(f"screenshot_artifacts golden: {t.num_rows} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     golden_crawl_trace()
     golden_scrape_markdown()
     golden_content_signature()
+    golden_screenshot_artifacts()

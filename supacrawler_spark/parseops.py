@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 PARSE_CONTENT_CAP = 15_000   # parse/service.go:538
 TRUNCATION_MARK = "...[TRUNCATED]"
+AGG_MAX_OUTPUT_TOKENS = 2000      # parse/service.go:698 WithMaxTokens
+ANALYSIS_MAX_OUTPUT_TOKENS = 800  # parse/service.go:408
 
 
 def capped_content(col, cap: int = PARSE_CONTENT_CAP):
@@ -68,17 +70,52 @@ def unified_prompt(df: DataFrame, job_col: str = "job_id",
         .alias("prompt_md5")))
 
 
-def parse_prep(spark, sf_dir, cap: int = PARSE_CONTENT_CAP,
-               n_jobs: int = 50, rep: int = 40) -> DataFrame:
-    """Driver query: the parse data plane over the documents table.
-    Text is repeated to realistic page-markdown size (2k-22k chars) so
-    the 15,000-char cap genuinely fires on a subset of rows."""
+def token_usage(df: DataFrame, job_col: str = "job_id",
+                content_col: str = "content") -> DataFrame:
+    """A5: per-job token-usage accumulation (parse/service.go:567-607:
+    workflowCtx totals + per-phase TokenUsage, surfaced as
+    input/output/total tokens + pages_processed on the response,
+    320-328).
+
+    The reference reads real usage off the LLM response; the batch
+    data plane estimates input tokens with the standard 4-chars/token
+    heuristic over the capped page contents (ceil division), and
+    carries the aggregation call's output-token BUDGET
+    (WithMaxTokens(2000), parse/service.go:698) as the output bound.
+    Pure integer algebra — one shuffle, map-side combined."""
+    chars = F.sum(F.length(content_col)).alias("_chars")
+    g = df.groupBy(job_col).agg(
+        F.count("*").alias("pages_processed"), chars)
+    in_tok = F.floor((F.col("_chars") + 3) / 4).cast("long")
+    return g.select(
+        job_col, "pages_processed",
+        in_tok.alias("input_tokens"),
+        F.lit(AGG_MAX_OUTPUT_TOKENS).cast("long").alias("output_budget"),
+        (in_tok + AGG_MAX_OUTPUT_TOKENS).alias("total_budget"))
+
+
+def _parse_input(spark, sf_dir, cap: int, n_jobs: int,
+                 rep: int) -> DataFrame:
+    """Shared derivation for the parse driver queries: documents
+    repeated to realistic page-markdown size (2k-22k chars) so the
+    15,000-char cap genuinely fires on a subset of rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     r = F.repeat(F.concat(F.col("text"), F.lit(" ")), rep)
-    d = docs.select(
+    return docs.select(
         (F.col("doc_id") % n_jobs).alias("job_id"),
         "doc_id",
         F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
         .alias("label"),
         capped_content(r, cap).alias("content"))
-    return unified_prompt(d)
+
+
+def parse_prep(spark, sf_dir, cap: int = PARSE_CONTENT_CAP,
+               n_jobs: int = 50, rep: int = 40) -> DataFrame:
+    """Driver query: the parse data plane over the documents table."""
+    return unified_prompt(_parse_input(spark, sf_dir, cap, n_jobs, rep))
+
+
+def parse_tokens(spark, sf_dir, cap: int = PARSE_CONTENT_CAP,
+                 n_jobs: int = 50, rep: int = 40) -> DataFrame:
+    """Driver query: A5 token accumulation over the same parse jobs."""
+    return token_usage(_parse_input(spark, sf_dir, cap, n_jobs, rep))
