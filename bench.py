@@ -8,6 +8,12 @@ Env:
   BENCH_DEPTH          crawl depth (default 6)
   BENCH_WEIGHT         page body weight (default 2 ~= 3-9KB text)
   BENCH_SEEDS          seed count (default 64, spread across hosts)
+  BENCH_BUDGET         politeness budget/host/wave (default 32768 —
+                       see docstring below; set 10 for the
+                       reference-parallelism politeness headline)
+  BENCH_LINK_LIMIT     crawl link_limit (default 0 = unlimited; bounds
+                       the budget-10 politeness run)
+  BENCH_SKIP_QUERIES=1 crawl only (scaling campaigns)
 
 Headline = one full crawl over the synthetic web (the engine's primary
 metric: frontier URLs/sec) + the heavy analytic operators. The bench
@@ -44,6 +50,7 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     depth = int(os.environ.get("BENCH_DEPTH", "6"))
     budget = int(os.environ.get("BENCH_BUDGET", "32768"))
+    link_limit = int(os.environ.get("BENCH_LINK_LIMIT", "0"))
     weight = int(os.environ.get("BENCH_WEIGHT", "2"))
     n_seeds = int(os.environ.get("BENCH_SEEDS", "64"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -111,7 +118,7 @@ def main() -> int:
     t0 = time.time()
     run = run_crawl(
         spark, pages_prep, seeds,
-        CrawlParams(depth=depth, link_limit=0),
+        CrawlParams(depth=depth, link_limit=link_limit),
         politeness_df=pol,
         default_host_budget=budget,  # hosts outside the table (www/sub
         #                            variants) get the same bench rate

@@ -52,6 +52,30 @@ def link_info(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"url_canon": urls, "host": host, "url_hash": h})
 
 
+def link_scope_info(include_subdomains: bool):
+    """Fused discovery-link kernel: host + hash + domain-scope verdict
+    in ONE Arrow pass (link_info ∘ domain_scope_udf). The candidate
+    expansion runs over every discovered link of a wave (~10x the wave
+    row count) — two separate pandas-UDF passes there mean two full
+    Arrow serialize/deserialize round-trips of the hottest column in
+    the discovery path; fusing halves that traffic. Semantics are
+    exactly link_info + domains_match (mapper/service.go:128,
+    241-254)."""
+    inc = bool(include_subdomains)
+
+    @pandas_udf("host string, url_hash long, in_scope boolean")
+    def _info(urls: pd.Series, seed_host: pd.Series) -> pd.DataFrame:
+        host = urls.map(lambda u: U.extract_host(u) if u is not None
+                        else None)
+        h = urls.map(lambda u: U.url_hash64(u) if u is not None else None)
+        scope = [U.domains_match(a or "", b or "", inc)
+                 for a, b in zip(host, seed_host)]
+        return pd.DataFrame({"host": host, "url_hash": h,
+                             "in_scope": scope})
+
+    return _info
+
+
 def match_patterns_udf(patterns: "list[str] | None"):
     """Pattern predicate factory (crawl/service.go:780-817). Compiled
     once per query; constant-folds to lit(True) when no patterns, so

@@ -23,8 +23,7 @@ from supacrawler_spark import urlkit as U
 from supacrawler_spark.oracle import ERR_LOW_QUALITY, ERR_ROBOTS
 from supacrawler_spark.schemas import RESULT_SCHEMA
 from supacrawler_spark.functions import (
-    link_info,
-    domain_scope_udf,
+    link_scope_info,
     match_patterns_udf,
     robots_allowed_udf,
 )
@@ -200,15 +199,17 @@ def expand_candidates(
         "seed_rank", "seed_host",
         F.posexplode("discovery").alias("link_pos", "url"),
     )
-    # one Arrow pass for host+hash; discovery URLs are already
-    # normalized — link_info does NOT re-clean (a re-applied cleanURL
-    # would mangle mailto:/javascript: links into fake https hosts)
-    cand = (cand.withColumn("_ci", link_info(F.col("url")))
+    # ONE fused Arrow pass for host+hash+domain-scope; discovery URLs
+    # are already normalized — the kernel does NOT re-clean (a
+    # re-applied cleanURL would mangle mailto:/javascript: links into
+    # fake https hosts)
+    cand = (cand.withColumn(
+        "_ci", link_scope_info(include_subdomains)(
+            F.col("url"), F.col("seed_host")))
             .withColumn("host", F.col("_ci.host"))
             .withColumn("url_hash", F.col("_ci.url_hash"))
+            .filter(F.col("_ci.in_scope"))
             .drop("_ci"))
-    cand = cand.filter(domain_scope_udf(include_subdomains)(
-        F.col("host"), F.col("seed_host")))
     if robots_df is not None:
         rules = robots_df.select("host", "allow_prefixes", "disallow_prefixes")
         cand = cand.join(F.broadcast(rules), "host", "left")

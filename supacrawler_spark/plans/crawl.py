@@ -66,10 +66,10 @@ BLOOM_THRESHOLD = 100_000
 
 # Broadcast the frontier side of the fetch join only while the
 # politeness-capped SCHEDULED wave (not the frontier!) is provably
-# under this many slim rows (~200 B/row -> ~50 MB, inside a sane
+# under this many slim rows (~160 B/row -> ~64 MB, inside a sane
 # driver/broadcast budget). Beyond it: SHUFFLE_HASH. Module-level so
 # tests can force the shuffle path (test_crawl_engine).
-SMALL_WAVE_ROWS = 250_000
+SMALL_WAVE_ROWS = 400_000
 
 RESULT_COLS_USER = [
     "url", "iter", "depth", "crawl_ord", "seed_rank", "seed_host",
@@ -294,6 +294,7 @@ def run_crawl(
         limit_reached = last["limit_reached"]
         run_id = last["run_id"]
         hosts_est = last.get("hosts_next")
+        prev_sched = last.get("scheduled")
         frontier = _read_frontier(
             spark, os.path.join(state_dir, "frontier",
                                 f"{last['iter']:05d}"),
@@ -314,6 +315,7 @@ def run_crawl(
         n_frontier = frontier.count()
         discovered_cnt = 0
         hosts_est = None
+        prev_sched = None
     # crash-window hygiene: drop any wave files newer than the last
     # committed manifest line (all of them on a fresh start)
     _prune_uncommitted(state_dir, manifest[-1]["iter"] if manifest else -1)
@@ -432,6 +434,32 @@ def run_crawl(
         wave_shuffle = min(max(cores, n_frontier // 3000), 4 * cores)
         spark.conf.set("spark.sql.shuffle.partitions", str(wave_shuffle))
 
+        # Driver-known bound on this wave's SCHEDULED row count, before
+        # anything is computed: <= n_frontier, <= remaining link
+        # budget, and <= distinct frontier hosts (prev wave's fused
+        # aggregate) x max host budget. Decides the fetch-join physical
+        # strategy and (tightened by the prev wave's actual width, a
+        # sound predictor because BFS discovery fans out <= ~10
+        # links/page) which global-rank path to take — gating on
+        # n_frontier alone would broadcast a huge scheduled frame when
+        # hosts are many (driver OOM), shuffle needlessly when a huge
+        # frontier collapses to a tiny polite wave, and pay the
+        # two-phase rank's extra exchanges + broadcast-build job on
+        # every steady-state micro-wave.
+        sched_bound = n_frontier
+        if L > 0:
+            sched_bound = min(sched_bound, max(L - successes, 0))
+        if hosts_est:
+            # +10% for approx_count_distinct error, +16 slack
+            sched_bound = min(sched_bound,
+                              int(hosts_est * 1.1 + 16) * max_budget)
+        rank_hint = sched_bound
+        if prev_sched is not None:
+            # x4 covers every observed inter-wave growth ratio; an
+            # underestimate only means a single-partition sort of a
+            # <=4x-larger-than-hinted wave (slower, never wrong)
+            rank_hint = min(rank_hint, max(prev_sched * 4, 4096))
+
         # 1. politeness selection (salted two-phase per-host top-B
         # above the salt threshold; plain per-host window below),
         # cached across the wave's two commits
@@ -442,7 +470,7 @@ def run_crawl(
         # 2. global rank in crawl order K; budget cut; crawl_ord
         wave_caches = []
         selected = ordered_row_number(
-            selected, order_exprs(), "_grank", hint_count=n_frontier,
+            selected, order_exprs(), "_grank", hint_count=rank_hint,
             cache_out=wave_caches)
         if L > 0:
             rem = L - successes
@@ -510,20 +538,8 @@ def run_crawl(
                 F.broadcast(cache_hits.select("url")), "url", "left_anti")
 
         # broadcast-semi strategy while the politeness-capped SCHEDULED
-        # wave is broadcast-sized; shuffle-hash beyond (never sorts the
-        # corpus). The scheduled count is bounded before it is computed:
-        # <= n_frontier, <= remaining link budget, and <= distinct
-        # frontier hosts (prev wave's fused aggregate) x max host budget
-        # — gating on n_frontier alone would broadcast a huge scheduled
-        # frame when hosts are many (driver OOM) and shuffle needlessly
-        # when a huge frontier collapses to a tiny polite wave.
-        sched_bound = n_frontier
-        if L > 0:
-            sched_bound = min(sched_bound, max(L - successes, 0))
-        if hosts_est:
-            # +10% for approx_count_distinct error, +16 slack
-            sched_bound = min(sched_bound,
-                              int(hosts_est * 1.1 + 16) * max_budget)
+        # wave is broadcast-sized (sched_bound, computed above);
+        # shuffle-hash beyond (never sorts the corpus).
         fetched = fetch_join(scheduled, pages_prep,
                              small_wave=sched_bound <= SMALL_WAVE_ROWS,
                              pages_urls=pages_urls)
@@ -585,10 +601,22 @@ def run_crawl(
                     cand = fresh_c.unionByName(maybe)
                 else:
                     cand = cand.join(kdf.select("url"), "url", "left_anti")
-            # intra-wave first-seen dedup (J5): min discovery order wins
-            w_url = Window.partitionBy("url").orderBy("parent_ord", "link_pos")
-            cand = (cand.withColumn("_rn", F.row_number().over(w_url))
-                    .filter(F.col("_rn") == 1).drop("_rn"))
+            # intra-wave first-seen dedup (J5): min discovery order
+            # wins. Expressed as min(struct) — NOT a row_number window
+            # — because struct-min has a map-side partial aggregate:
+            # each task collapses its local duplicates before the
+            # exchange, so the shuffle carries ~distinct-url volume
+            # instead of every discovered link (a window must shuffle
+            # all rows first). (parent_ord, link_pos) is unique per
+            # candidate row and leads the struct, so lexicographic
+            # struct ordering == the discovery order and the result is
+            # deterministic and identical to the row_number form.
+            other = [c for c in cand.columns
+                     if c not in ("url", "parent_ord", "link_pos")]
+            cand = (cand.groupBy("url")
+                    .agg(F.min(F.struct("parent_ord", "link_pos",
+                                        *other)).alias("_first"))
+                    .select("url", "_first.*"))
             # discovery cap (mapper limitReached)
             if ML is not None:
                 avail = ML - discovered_cnt
@@ -644,6 +672,7 @@ def run_crawl(
         fr_m = obs_fr.get
         raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(fr_path)
         wave_sched = int(res_m["sched"] or 0)
+        prev_sched = wave_sched
         wave_succ = int(res_m["succ"] or 0)
         if failures is not None:
             failures += int(res_m["fail"] or 0)
