@@ -59,12 +59,15 @@ def main():
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "unit": "ratio",
+        # headline value = the DOCUMENTED pass criterion (BASELINE.md):
+        # median-of-runs efficiency. Best-of-R (min-wall noise
+        # rejection on this shared box) is reported under eff_best.
         "value": round(
-            (agg(max, n_big, "urls_per_sec")
-             / agg(max, n_small, "urls_per_sec")) / 4, 3),
-        "eff_median": round(
             (agg(statistics.median, n_big, "urls_per_sec")
              / agg(statistics.median, n_small, "urls_per_sec")) / 4, 3),
+        "eff_best": round(
+            (agg(max, n_big, "urls_per_sec")
+             / agg(max, n_small, "urls_per_sec")) / 4, 3),
         "urls_per_sec_small": {
             "best": agg(max, n_small, "urls_per_sec"),
             "median": agg(statistics.median, n_small, "urls_per_sec"),

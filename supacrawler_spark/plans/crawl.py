@@ -238,6 +238,33 @@ def run_crawl(
         if not (resume and os.path.exists(pages_path)):
             _write(prepare_pages(pages_df), pages_path)
         pages_prep = spark.read.parquet(pages_path)
+    # Size the corpus-scan splits to the cluster BEFORE the corpus's
+    # first action below (pages_urls write / cache materialization) —
+    # a persisted corpus keeps whatever partitioning its first scan
+    # had, so tuning after the fact would silently never engage for
+    # the cached path. Default 128 MB packs a modest corpus into a
+    # handful of splits and caps the extraction stage at that many
+    # Python workers regardless of core count (measured: a 377 MB
+    # corpus scanned as ~7 splits pinned wave extraction at ~7/16
+    # cores; 4->16-core scaling flatlined at ~2x). At 100-TB scale
+    # bytes/(3*cores) >> 128 MB and this is a no-op. Restored after
+    # the loop.
+    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    base_opencost = spark.conf.get("spark.sql.files.openCostInBytes")
+    _cores = spark.sparkContext.defaultParallelism
+    try:
+        _corpus_bytes = sum(
+            os.path.getsize(f[5:] if f.startswith("file:") else f)
+            for f in pages_prep.inputFiles())
+    except Exception:  # non-file source (in-memory test frame)
+        _corpus_bytes = 0
+    if _corpus_bytes:
+        _split = min(128 * 1024 * 1024,
+                     max(4 * 1024 * 1024, _corpus_bytes // (3 * _cores)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(_split))
+        # default 4 MB open-cost re-packs small files into few splits
+        spark.conf.set("spark.sql.files.openCostInBytes",
+                       str(512 * 1024))
     if cache_pages:
         # the fetch join scans the corpus every wave — keep it hot
         # (memory+disk). At 100-TB scale this is the executors' cache
@@ -381,30 +408,6 @@ def run_crawl(
     t_loop = time.time()
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    base_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    base_opencost = spark.conf.get("spark.sql.files.openCostInBytes")
-    # Size the corpus-scan splits to the cluster, not the default
-    # 128 MB: the fetch join's hits (and the extraction UDF above
-    # them) inherit the SCAN's partitioning — on a modest corpus the
-    # default packs the whole table into a handful of splits and caps
-    # extraction at that many Python workers regardless of core count
-    # (measured: a 377 MB corpus scanned as ~7 splits pinned wave
-    # extraction at ~7/16 cores; 4->16-core scaling flatlined at ~2x).
-    # At 100-TB scale bytes/(3*cores) >> 128 MB and this is a no-op.
-    _cores = spark.sparkContext.defaultParallelism
-    try:
-        _corpus_bytes = sum(
-            os.path.getsize(f[5:] if f.startswith("file:") else f)
-            for f in pages_prep.inputFiles())
-    except Exception:  # non-file source (in-memory test frame)
-        _corpus_bytes = 0
-    if _corpus_bytes:
-        _split = min(128 * 1024 * 1024,
-                     max(4 * 1024 * 1024, _corpus_bytes // (3 * _cores)))
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(_split))
-        # default 4 MB open-cost re-packs small files into few splits
-        spark.conf.set("spark.sql.files.openCostInBytes",
-                       str(512 * 1024))
     # AQE off for the wave loop: adaptive execution materializes every
     # exchange as a query stage with a driver round-trip — pure fixed
     # latency on iterative micro-waves. The two things AQE would buy
@@ -708,7 +711,7 @@ def run_crawl(
         # 7. commit the wave
         line = dict(run_id=run_id, iter=it, scheduled=wave_sched,
                     wave_successes=wave_succ, successes=successes,
-                    failures=failures,
+                    failures=failures, retry=params.retry_failures,
                     next_ord=next_ord, discovered_cnt=discovered_cnt,
                     limit_reached=limit_reached, n_frontier_next=n_frontier,
                     hosts_next=hosts_est,
@@ -735,10 +738,14 @@ def run_crawl(
     # exactly once, so the per-wave observed sums ARE the distinct
     # count — no post-loop scan job (it was ~1-2s of fixed, non-scaling
     # wall per run). With retry_failures a url may carry one error row
-    # per attempt (one failed page, the oracle's errors dict) — only
-    # then run the distinct-count job. Resumed pre-upgrade state dirs
-    # (no 'failures' in the manifest) also fall back to the scan.
-    if manifest and (params.retry_failures or failures is None):
+    # per attempt (one failed page, the oracle's errors dict) — so the
+    # distinct-count job runs if THIS run retries or if ANY committed
+    # wave was produced with retries enabled (a resume with
+    # retry_failures=False over retry-era waves would otherwise count
+    # one row per attempt). Resumed pre-upgrade state dirs (no
+    # 'failures' in the manifest) also fall back to the scan.
+    if manifest and (params.retry_failures or failures is None
+                     or any(ln.get("retry", False) for ln in manifest)):
         total_err = run._results_all().filter(
             F.col("error").isNotNull()
         ).select("url").distinct().count()

@@ -109,8 +109,11 @@ def signature_of_html(html: "str | None") -> tuple:
             or n.attrs.get("aria-busy") == "true"
         ):
             loaders += 1
-    return (len(visible_text), elements, links, loaders,
-            _js_string_hash(visible_text))
+    # text_length mirrors JS `visibleText.length` = UTF-16 code units
+    # (astral chars count 2), consistent with _js_string_hash's
+    # charCodeAt iteration — NOT Python code points.
+    return (len(visible_text.encode("utf-16-le")) // 2, elements, links,
+            loaders, _js_string_hash(visible_text))
 
 
 @pandas_udf(SIGNATURE_SCHEMA)
@@ -136,7 +139,10 @@ def cloudflare_blocked(status_code: Column, title: Column,
     Pure JVM-side ``contains`` algebra — no UDF in this predicate."""
     t = F.coalesce(title, F.lit(""))
     c = F.coalesce(content, F.lit(""))
-    return (status_code == 403) & (
+    # eqNullSafe: a nil StatusCode is FALSE (not NULL) like the Go
+    # `result.StatusCode == 403` on a zero value — a negated use of
+    # this predicate must not drop null-status rows.
+    return status_code.eqNullSafe(F.lit(403)) & (
         t.contains("Just a moment")
         | t.contains("Checking your browser")
         | t.contains("Attention Required")

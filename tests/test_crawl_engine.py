@@ -181,7 +181,12 @@ def test_zero_budget_starvation_exits(spark, web):
     assert run.stats["urls_scheduled"] == 0
 
 
-def test_bloom_off_equals_on(spark, web):
+def test_bloom_off_equals_on(spark, web, monkeypatch):
+    from supacrawler_spark.plans import crawl as crawl_mod
+
+    # force the bloom branch to actually engage (the production
+    # threshold is 100k discovered URLs — far above smoke scale)
+    monkeypatch.setattr(crawl_mod, "BLOOM_THRESHOLD", 0)
     pages_df, pages_local, n_docs = web
     seeds = gen_seeds(n_docs, k=2)
     params = CrawlParams(depth=2, link_limit=40)

@@ -59,6 +59,16 @@ def test_signature_none_html():
     assert S.signature_of_html(None) == (0, 0, 0, 0, "0")
 
 
+def test_signature_text_length_utf16_units():
+    # JS visibleText.length counts UTF-16 code units: an astral char
+    # (U+1F600, surrogate pair) counts 2 — consistent with the hash's
+    # charCodeAt iteration.
+    text_len, _, _, _, h = S.signature_of_html(
+        "<html><body><p>a\U0001F600</p></body></html>")
+    assert text_len == 3
+    assert h == S._js_string_hash("a\U0001F600")
+
+
 # ---------------------------------------------------------------------------
 # Cloudflare predicate (isCloudflareBlocked, scrape/service.go:1077-1107)
 # ---------------------------------------------------------------------------
@@ -74,6 +84,9 @@ CF_CASES = [
     (403, "t", "Waiting for nothing", False),            # needs both
     (200, "Just a moment...", "Cloudflare Ray ID", False),  # not 403
     (403, None, None, False),
+    # nil StatusCode must yield FALSE, not NULL (null-propagating ==
+    # would poison a negated use): reference zero-value semantics
+    (None, "Just a moment...", "Cloudflare Ray ID: 8c1", False),
 ]
 
 
