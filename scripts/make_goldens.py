@@ -96,14 +96,20 @@ def golden_scrape_markdown():
 
 def golden_content_signature():
     """Mirror of __spark_entry__.q_content_signature (sf0.01,
-    limit=60): the pure signature kernel over the same deterministic
-    synthesized pages, no Spark."""
-    from supacrawler_spark.scrapeops import signature_of_html
+    limit=60) — INDEPENDENT oracle: expectations derive from the
+    synthetic template's a-priori ground truth
+    (sources/synth.expected_signature — document-order text-node
+    concatenation + tag counting rules, no html parsing), NOT from the
+    signature kernel the Spark UDF wraps. A parser/walker/counter bug
+    in scrapeops.signature_of_html fails this golden."""
+    from supacrawler_spark.sources.synth import expected_signature
 
-    pages = _pages(60)
-    urls = sorted(pages)
-    sigs = [signature_of_html(pages[u]) for u in urls]
-    cols = list(zip(*sigs))
+    texts = _texts(60)
+    n = len(texts)
+    by_url = {page_url(i): expected_signature(i, texts[i], n)
+              for i in sorted(texts)}
+    urls = sorted(by_url)
+    cols = list(zip(*(by_url[u] for u in urls)))
     t = pa.table({
         "url": pa.array(urls, pa.string()),
         "text_length": pa.array(cols[0], pa.int32()),
@@ -116,27 +122,47 @@ def golden_content_signature():
     print(f"content_signature golden: {t.num_rows} rows")
 
 
-def golden_screenshot_artifacts():
-    """Mirror of __spark_entry__.q_screenshot_artifacts (sf0.01,
-    limit=60, desktop): the pure stand-in renderer outside Spark."""
+def _bmp_independent(url: str) -> bytes:
+    """Independent re-derivation of the stand-in screenshot SPEC (an
+    8x8 24-bit BITMAPINFOHEADER BMP whose pixel bytes cycle md5(url)),
+    byte-built here without struct.pack or any screenshots.py code —
+    a packing/layout bug in render_screenshot fails this golden."""
     import hashlib
 
-    from supacrawler_spark.screenshots import (
-        DEVICE_VIEWPORTS,
-        artifact_name,
-        render_screenshot,
-    )
+    seed = hashlib.md5(url.encode("utf-8")).digest()
+    px = bytes(seed[i % 16] for i in range(8 * 8 * 3))
+    le4 = lambda v: int(v).to_bytes(4, "little")  # noqa: E731
+    le2 = lambda v: int(v).to_bytes(2, "little")  # noqa: E731
+    head = b"BM" + le4(54 + len(px)) + le2(0) + le2(0) + le4(54)
+    dib = (le4(40) + le4(8) + le4(8) + le2(1) + le2(24) + le4(0)
+           + le4(len(px)) + le4(2835) + le4(2835) + le4(0) + le4(0))
+    return head + dib + px
+
+
+def _name_independent(url: str, ts: str) -> str:
+    """Independent artifact-name rule (service.go:575, 694-701):
+    translate ``: / ? & = #`` -> ``-``, delete ``%``, cap 64."""
+    s = url.translate(str.maketrans(":/?&=#", "------", "%"))
+    return f"{ts}_{s[:64]}.bmp"
+
+
+def golden_screenshot_artifacts():
+    """Mirror of __spark_entry__.q_screenshot_artifacts (sf0.01,
+    limit=60, desktop) — INDEPENDENT oracle: payload bytes, names and
+    viewport constants re-derived from the documented artifact spec
+    (_bmp_independent/_name_independent + service.go:155-196 desktop
+    1920x1080), not by calling the screenshots.py kernel."""
+    import hashlib
 
     urls = sorted(_pages(60))
-    w, h, _ = DEVICE_VIEWPORTS["desktop"]
-    payloads = [render_screenshot(u) for u in urls]
+    payloads = [_bmp_independent(u) for u in urls]
     t = pa.table({
         "url": pa.array(urls, pa.string()),
         "device": pa.array(["desktop"] * len(urls), pa.string()),
-        "viewport_w": pa.array([w] * len(urls), pa.int32()),
-        "viewport_h": pa.array([h] * len(urls), pa.int32()),
+        "viewport_w": pa.array([1920] * len(urls), pa.int32()),
+        "viewport_h": pa.array([1080] * len(urls), pa.int32()),
         "format": pa.array(["bmp"] * len(urls), pa.string()),
-        "name": pa.array([artifact_name(u, "19700101_000000")
+        "name": pa.array([_name_independent(u, "19700101_000000")
                           for u in urls], pa.string()),
         "n_bytes": pa.array([len(p) for p in payloads], pa.int32()),
         "digest": pa.array([hashlib.md5(p).hexdigest() for p in payloads],

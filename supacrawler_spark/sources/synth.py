@@ -133,16 +133,19 @@ def _link_specs(doc_id: int, n_docs: int, seed: int):
     return links
 
 
-def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
-               weight: int = 1) -> str:
-    hid = host_id(doc_id)
-    hname = host_name(hid)
-    title = f"Page {doc_id} — {hname}"
+PATHO_TEXT = "patho\x01logical​ zero‌width text"
+DATE_TEXT = "Sep 12, 2024"
+
+
+def _body_paras(doc_id: int, text: str, weight: int = 1):
+    """The two body paragraphs — template ground truth shared by the
+    html generator and the a-priori signature oracle.
+
+    Realistic page weight: repeat the payload to ~1.5-4.3 KB of body
+    text (Common-Crawl pages are tens of KB; the tiny documents rows
+    alone would make extraction unrealistically cheap). Deterministic
+    per page; repeats are suffixed so every sentence stays unique."""
     words = (text or "content").split()
-    # realistic page weight: repeat the payload to ~1.5-4.3 KB of body
-    # text (Common-Crawl pages are tens of KB; the tiny documents rows
-    # alone would make extraction unrealistically cheap). Deterministic
-    # per page; repeats are suffixed so every sentence stays unique.
     target = weight * (1500 + (doc_id % 5) * 700)
     body_words = list(words)
     rep = 1
@@ -152,6 +155,15 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
     words = body_words
     para1 = " ".join(words[: max(5, len(words) // 2)]) or "content body"
     para2 = " ".join(words[max(5, len(words) // 2):]) or "more content"
+    return para1, para2
+
+
+def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
+               weight: int = 1) -> str:
+    hid = host_id(doc_id)
+    hname = host_name(hid)
+    title = f"Page {doc_id} — {hname}"
+    para1, para2 = _body_paras(doc_id, text, weight)
     anchors = _link_specs(doc_id, n_docs, seed)
 
     head = [f"<title>{title}</title>",
@@ -184,12 +196,12 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
             for i, a in enumerate(anchors[4:])) + "</ul>")
     if doc_id % 7 == 0:
         # pathological: control chars + zero-width unicode (markdown.go:166-199)
-        body.append("<p>patho\x01logical​ zero‌width text</p>")
+        body.append(f"<p>{PATHO_TEXT}</p>")
     if doc_id % 11 == 0:
         # duplicate image + date lines (markdown.go:79-143)
         body.append(f'<p><img src="https://{hname}/i/{doc_id}.png" alt="im"></p>')
         body.append(f'<p><img src="https://{hname}/i/{doc_id}.png" alt="im"></p>')
-        body.append("<p>Sep 12, 2024</p><p>Sep 12, 2024</p>")
+        body.append(f"<p>{DATE_TEXT}</p><p>{DATE_TEXT}</p>")
     if doc_id % 13 == 0:
         body.append('<div id="sidebar-related">related junk</div>')
     body.append("</main>")
@@ -199,6 +211,74 @@ def synth_html(doc_id: int, text: str, n_docs: int, seed: int = 42,
 
     return ("<html><head>" + "".join(head) + "</head><body>"
             + "".join(body) + "</body></html>")
+
+
+def expected_signature(doc_id: int, text: str, n_docs: int,
+                       seed: int = 42, weight: int = 1) -> tuple:
+    """A-priori ground truth for ``scrapeops.signature_of_html`` over
+    ``synth_html(doc_id, ...)`` — (text_length, element_count,
+    link_count, async_load_indicators, content_hash), derived from the
+    TEMPLATE rules (what the generator emits, in document order), NOT
+    by parsing the html. This is the independent oracle behind the
+    ``content_signature`` driver golden: a bug in the htmlkit parser,
+    the tree walker, or the counting kernel shows up as a mismatch
+    here, unlike a golden produced by the kernel itself.
+
+    Reference semantics being modeled: getContentSignature,
+    internal/core/scrape/service.go:917-1015 (visible text = raw
+    textContent concatenation outside script/style/noscript; elements =
+    querySelectorAll('*') minus script/style/noscript/meta/link/title;
+    links = a[href]; JS 31*h int32 rolling hash over UTF-16 units).
+    """
+    title = f"Page {doc_id} — {host_name(host_id(doc_id))}"
+    para1, para2 = _body_paras(doc_id, text, weight)
+    anchors = _link_specs(doc_id, n_docs, seed)
+    n_nav = 1 + doc_id % 3
+    n_inline = min(4, len(anchors))
+    n_items = max(0, len(anchors) - 4)
+
+    # visible body text nodes, template document order (head excluded)
+    parts = ["".join(f"{s} " for s in SECTIONS[:n_nav])]    # nav anchors
+    parts.append("We use cookies")                          # cookie div
+    parts.append(title)                                     # h1
+    parts.append(para1)                                     # p1
+    parts.append(para2 + " "                                # p2 + inline
+                 + " ".join(f"link{i}" for i in range(n_inline)))
+    parts.append("".join(f"item{i}" for i in range(n_items)))  # ul li a
+    if doc_id % 7 == 0:
+        parts.append(PATHO_TEXT)
+    if doc_id % 11 == 0:
+        parts.append(DATE_TEXT * 2)     # imgs carry no text; 2 date <p>
+    if doc_id % 13 == 0:
+        parts.append("related junk")    # sidebar div
+    parts.append("share")               # footer (script text excluded)
+    visible = "".join(parts)
+
+    elements = 3                        # html, head, body
+    elements += 1 + n_nav               # nav + its anchors
+    elements += 1                       # cookie div
+    elements += 4 + n_inline            # main, h1, p1, p2 + inline a's
+    if n_items:
+        elements += 1 + 2 * n_items     # ul + (li + a) each
+    if doc_id % 7 == 0:
+        elements += 1                   # patho p
+    if doc_id % 11 == 0:
+        elements += 6                   # 2x(p+img) + 2 date p
+    if doc_id % 13 == 0:
+        elements += 1                   # sidebar div
+    elements += 1                       # footer
+    links = n_nav + len(anchors)        # every template anchor has href
+
+    # independent int32 rolling hash: code-POINT loop (synth text is
+    # BMP-only, asserted — code points == UTF-16 units here), distinct
+    # from the kernel's utf-16-le byte-pair iteration
+    assert all(ord(c) <= 0xFFFF for c in visible), "template is BMP-only"
+    h = 0
+    for c in visible:
+        h = (31 * h + ord(c)) & 0xFFFFFFFF
+    if h >= 0x80000000:
+        h -= 0x100000000
+    return len(visible), elements, links, 0, str(h)
 
 
 def synth_page(doc_id: int, text: str, lang: str, n_docs: int,

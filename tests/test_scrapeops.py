@@ -59,6 +59,46 @@ def test_signature_none_html():
     assert S.signature_of_html(None) == (0, 0, 0, 0, "0")
 
 
+def test_signature_kernel_vs_template_oracle():
+    """The content_signature golden derives from the synth TEMPLATE's
+    a-priori rules (sources/synth.expected_signature), not from this
+    kernel — this test is the cross-validation: parser + walker +
+    counters vs independent document-order template math, across every
+    template branch (%3 nav widths, %5 sizes, %7 patho, %11 dates,
+    %13 sidebar, hot/cold hosts)."""
+    import duckdb
+
+    from supacrawler_spark.sources.synth import (
+        expected_signature,
+        synth_html,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        "ORDER BY doc_id LIMIT 120").fetchall()
+    n = len(rows)
+    for i, t in rows:
+        got = S.signature_of_html(synth_html(int(i), t, n))
+        want = expected_signature(int(i), t, n)
+        assert got == want, f"doc {i}: kernel {got} != template {want}"
+
+
+def test_screenshot_kernel_vs_independent_spec():
+    """screenshots.render_screenshot / artifact_name vs the golden
+    script's independent byte-level re-derivation of the BMP layout
+    and naming rule."""
+    from scripts.make_goldens import _bmp_independent, _name_independent
+    from supacrawler_spark.screenshots import artifact_name, render_screenshot
+
+    for u in ("https://hot.example.org/blog/p0",
+              "https://h7.example.org/docs/p91?x=1&y=2#frag",
+              "https://h1.example.org/" + "long" * 40 + "%20end"):
+        assert render_screenshot(u) == _bmp_independent(u)
+        assert artifact_name(u, "19700101_000000") == \
+            _name_independent(u, "19700101_000000")
+
+
 def test_signature_text_length_utf16_units():
     # JS visibleText.length counts UTF-16 code units: an astral char
     # (U+1F600, surrogate pair) counts 2 — consistent with the hash's
