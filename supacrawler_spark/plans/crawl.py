@@ -64,6 +64,21 @@ from supacrawler_spark.sources import prepare_pages
 
 BLOOM_THRESHOLD = 100_000
 
+# Bucketed known-state table: above this many discovered URLs the
+# cumulative known set moves from per-wave frontier-file rescans into
+# a parquet table bucketed on the anti-join key, so the exact
+# anti-join stops re-shuffling the known side every wave (the scan is
+# bucket-aligned: candidates exchange into the table's partitioning;
+# the known side never exchanges). The Iceberg bucket-partitioned
+# state table stand-in at 10^10 design scale. Same auto threshold as
+# bloom; KNOWN_BUCKETS bounds per-task state at any total size.
+KNOWN_TABLE_THRESHOLD = BLOOM_THRESHOLD
+KNOWN_BUCKETS = 32
+# appends add one file per bucket per wave; compact (rewrite into the
+# next generation) after this many appends to bound file counts on
+# very deep crawls
+KNOWN_COMPACT_EVERY = 32
+
 # Broadcast the frontier side of the fetch join only while the
 # politeness-capped SCHEDULED wave (not the frontier!) is provably
 # under this many slim rows (~160 B/row -> ~64 MB, inside a sane
@@ -199,6 +214,7 @@ def run_crawl(
     state_dir: "str | None" = None,
     resume: bool = False,
     use_bloom: bool = True,
+    bucket_known: "bool | None" = None,
     collect_lineage: bool = True,
     default_host_budget: int = 10,
     pages_prepared: bool = False,
@@ -217,6 +233,12 @@ def run_crawl(
     stored content/discovery. ``params.fresh=True`` bypasses it
     (scrape/service.go:64-69). Extraction is a pure function of the
     html, so cached and fresh runs are bit-identical (tested).
+
+    ``bucket_known``: None (default) auto-engages the bucketed
+    known-state table above KNOWN_TABLE_THRESHOLD discovered URLs;
+    True forces it from the first wave (tests); False keeps the
+    frontier-file scan path only. Purely a physical-plan choice —
+    trace-equivalence is pinned by test_known_bucketed_equals_files.
     """
     params = params or CrawlParams()
     t_init = time.time()
@@ -379,7 +401,7 @@ def run_crawl(
         if bloom_errors:
             raise bloom_errors[0]
 
-    def known_df() -> "DataFrame | None":
+    def _known_files_df() -> "DataFrame | None":
         """The mapper's `links` set = all capped candidates ever
         emitted. Each appears exactly once across frontier files with
         is_new=true (deferred re-appearances are flagged false), so
@@ -393,6 +415,57 @@ def run_crawl(
                     .parquet(p).filter("is_new")
                     .select("url", "url_hash"))
         return None
+
+    # ---- bucketed known-state table (module docstring scale note) ---------
+    # Engaged above KNOWN_TABLE_THRESHOLD (or forced by bucket_known):
+    # the cumulative known set lives in a parquet table bucketed on
+    # `url`, so the per-wave exact anti-join reads it bucket-aligned —
+    # candidates exchange into the table's partitioning, the known
+    # side NEVER re-shuffles, and per-wave anti-join cost stops
+    # growing with wave count. The table is derived state: (re)built
+    # from committed frontier files on engage/resume (overwrite also
+    # discards any crash-orphaned append), appended per committed
+    # wave, compacted into the next generation every
+    # KNOWN_COMPACT_EVERY appends.
+    known_state = {"tbl": None, "gen": 0, "appends": 0}
+
+    def _known_write(df, gen: int) -> str:
+        name = f"known_{run_id}_{gen}"
+        (df.repartition(KNOWN_BUCKETS, "url")  # one file/bucket/write
+         .write.mode("overwrite").format("parquet")
+         .bucketBy(KNOWN_BUCKETS, "url")
+         .option("path", os.path.join(state_dir, f"known_{gen}"))
+         .saveAsTable(name))
+        return name
+
+    def _known_engage() -> None:
+        src = _known_files_df()
+        if src is None:
+            return
+        known_state["tbl"] = _known_write(src, known_state["gen"])
+        known_state["appends"] = 0
+
+    def _known_append(df) -> None:
+        (df.repartition(KNOWN_BUCKETS, "url")
+         .write.mode("append").format("parquet")
+         .bucketBy(KNOWN_BUCKETS, "url")
+         .saveAsTable(known_state["tbl"]))
+        spark.catalog.refreshTable(known_state["tbl"])
+        known_state["appends"] += 1
+        if known_state["appends"] >= KNOWN_COMPACT_EVERY:
+            old_tbl, old_gen = known_state["tbl"], known_state["gen"]
+            gen = old_gen + 1
+            known_state["tbl"] = _known_write(spark.table(old_tbl), gen)
+            known_state["gen"] = gen
+            known_state["appends"] = 0
+            spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
+            shutil.rmtree(os.path.join(state_dir, f"known_{old_gen}"),
+                          ignore_errors=True)
+
+    def known_df() -> "DataFrame | None":
+        if known_state["tbl"] is not None:
+            return spark.table(known_state["tbl"])
+        return _known_files_df()
 
     # `known` mirrors the mapper's `links` set, which never contains
     # the seed (mapper/service.go:39, 146-152): a discovered link equal
@@ -585,6 +658,11 @@ def run_crawl(
             cand = expand_candidates(
                 res_df, params.include_subdomains, params.patterns,
                 robots_df, max_depth=D)
+            if (bucket_known is not False
+                    and known_state["tbl"] is None
+                    and (bucket_known is True
+                         or discovered_cnt > KNOWN_TABLE_THRESHOLD)):
+                _known_engage()
             kdf = known_df()
             if kdf is not None:
                 bloom_active = bloom is not None and \
@@ -699,6 +777,12 @@ def run_crawl(
         if not limit_reached:
             if bloom_built and n_new:
                 _bloom_add_async(raw.filter("is_new").select("url_hash"))
+            if known_state["tbl"] is not None and n_new:
+                # this wave's accepted candidates become `known` for
+                # wave it+1; crash before the manifest line is healed
+                # by the engage-time overwrite rebuild on resume
+                _known_append(raw.filter("is_new")
+                              .select("url", "url_hash"))
             if ML is not None and discovered_cnt + n_new >= ML:
                 limit_reached = True
             discovered_cnt += n_new
@@ -724,6 +808,10 @@ def run_crawl(
 
     t_post = time.time()
     _bloom_join()  # bloom state must be durable before the run returns
+    if known_state["tbl"] is not None:
+        # catalog entry is session-scoped derived state; the files are
+        # rebuildable from frontier commits (resume re-engages)
+        spark.sql(f"DROP TABLE IF EXISTS {known_state['tbl']}")
     spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
     spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
     spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)

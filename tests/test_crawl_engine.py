@@ -197,6 +197,56 @@ def test_bloom_off_equals_on(spark, web, monkeypatch):
     assert t_on == t_off
 
 
+def test_known_bucketed_equals_files(spark, web, monkeypatch):
+    """The bucketed known-state table is a physical-plan choice only:
+    forcing it from wave 0 (and with bloom active on top, plus a
+    2-wave compaction cadence so the generation-rollover path runs)
+    must produce the identical crawl to the frontier-file scan path."""
+    from supacrawler_spark.plans import crawl as crawl_mod
+
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=3, link_limit=80)
+    base = run_crawl(spark, pages_df, seeds, params, bucket_known=False)
+    t_base = [tuple(r) for r in base.trace.collect()]
+
+    monkeypatch.setattr(crawl_mod, "KNOWN_COMPACT_EVERY", 2)
+    bucketed = run_crawl(spark, pages_df, seeds, params, bucket_known=True)
+    assert [tuple(r) for r in bucketed.trace.collect()] == t_base
+
+    monkeypatch.setattr(crawl_mod, "BLOOM_THRESHOLD", 0)
+    both = run_crawl(spark, pages_df, seeds, params, bucket_known=True,
+                     use_bloom=True)
+    assert [tuple(r) for r in both.trace.collect()] == t_base
+
+
+def test_known_bucketed_resume(spark, web):
+    """Resume over a state dir mid-crawl with the bucketed known table
+    engaged: the engage-time overwrite rebuild from committed frontier
+    files must discard any stale/orphan table state and reproduce the
+    uninterrupted trace."""
+    import shutil
+    import tempfile
+
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=3, link_limit=80)
+    full = run_crawl(spark, pages_df, seeds, params, bucket_known=True)
+    assert full.stats["waves"] >= 3
+    state = tempfile.mkdtemp(prefix="known_resume_")
+    try:
+        run_crawl(spark, pages_df, seeds,
+                  CrawlParams(depth=3, link_limit=80, max_waves=2),
+                  state_dir=state, bucket_known=True)
+        resumed = run_crawl(spark, pages_df, seeds, params,
+                            state_dir=state, resume=True,
+                            bucket_known=True)
+        assert [tuple(r) for r in resumed.trace.collect()] == \
+               [tuple(r) for r in full.trace.collect()]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def test_unlimited_terminates_and_matches(spark, web):
     run, orc = _run_case(spark, web, CrawlParams(depth=3))
     assert run.stats["waves"] == len(orc.waves)
