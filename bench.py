@@ -14,6 +14,15 @@ Env:
   BENCH_LINK_LIMIT     crawl link_limit (default 0 = unlimited; bounds
                        the budget-10 politeness run)
   BENCH_SKIP_QUERIES=1 crawl only (scaling campaigns)
+  BENCH_CRAWL_RUNS     measured-crawl repetitions (default 3): the
+                       headline crawl number is the MEDIAN of R
+                       identically-configured back-to-back runs — this
+                       box shows 5-17% co-tenant CPU steal, so a
+                       single run is not evidence (round-2 lesson:
+                       a 44.9s vs 47.0s round-over-round delta was
+                       within single-run spread). Campaigns that do
+                       their own repetition (scripts/bench_scaling.py)
+                       set 1.
 
 Headline = one full crawl over the synthetic web (the engine's primary
 metric: frontier URLs/sec) + the heavy analytic operators. The bench
@@ -115,33 +124,47 @@ def main() -> int:
     log(f"warmup crawl: {warm.stats['urls_scheduled']} urls "
         f"in {timings['warmup']}s")
 
-    t0 = time.time()
-    run = run_crawl(
-        spark, pages_prep, seeds,
-        CrawlParams(depth=depth, link_limit=link_limit),
-        politeness_df=pol,
-        default_host_budget=budget,  # hosts outside the table (www/sub
-        #                            variants) get the same bench rate
-        state_dir=os.path.join(work, "state"),
-        pages_prepared=True,
-        collect_lineage=False,
-        use_bloom=True,
-        # measured on this box: materializing the corpus into the Spark
-        # block cache costs ~85s (decompress+re-encode of the fat html
-        # column) while a plain warm parquet scan is ~1-5s/wave — the
-        # OS page cache is the right cache for a corpus this size
-        cache_pages=os.environ.get("BENCH_CACHE_PAGES", "0") == "1",
-    )
-    crawl_sec = round(time.time() - t0, 2)
+    import statistics
+
+    n_runs = int(os.environ.get("BENCH_CRAWL_RUNS", "3"))
+    crawl_secs = []
+    run = None
+    for i in range(n_runs):
+        t0 = time.time()
+        run = run_crawl(
+            spark, pages_prep, seeds,
+            CrawlParams(depth=depth, link_limit=link_limit),
+            politeness_df=pol,
+            default_host_budget=budget,  # hosts outside the table
+            #                  (www/sub variants) get the same rate
+            state_dir=os.path.join(work, f"state_{i}"),
+            pages_prepared=True,
+            collect_lineage=False,
+            use_bloom=True,
+            # measured on this box: materializing the corpus into the
+            # Spark block cache costs ~85s (decompress+re-encode of
+            # the fat html column) while a plain warm parquet scan is
+            # ~1-5s/wave — the OS page cache is the right cache for a
+            # corpus this size
+            cache_pages=os.environ.get("BENCH_CACHE_PAGES", "0") == "1",
+        )
+        sec = round(time.time() - t0, 2)
+        crawl_secs.append(sec)
+        log(f"crawl run {i + 1}/{n_runs}: "
+            f"{run.stats['urls_scheduled']} urls, "
+            f"{run.stats['waves']} waves, "
+            f"{run.stats['successful_pages']} pages, {sec}s "
+            f"-> {round(run.stats['urls_scheduled'] / sec, 1)} urls/s")
+        log("  wall decomposition: "
+            f"preloop={run.stats['wall_preloop_ms']}ms "
+            f"waves={run.stats['wall_waves_ms']}ms "
+            f"postloop={run.stats['wall_postloop_ms']}ms")
+    crawl_sec = round(statistics.median(crawl_secs), 2)
     timings["crawl"] = crawl_sec
     urls = run.stats["urls_scheduled"]
     urls_per_sec = round(urls / crawl_sec, 1) if crawl_sec else 0.0
-    log(f"crawl: {urls} urls, {run.stats['waves']} waves, "
-        f"{run.stats['successful_pages']} pages, {crawl_sec}s "
-        f"-> {urls_per_sec} urls/s")
-    log(f"crawl wall decomposition: preloop={run.stats['wall_preloop_ms']}ms "
-        f"waves={run.stats['wall_waves_ms']}ms "
-        f"postloop={run.stats['wall_postloop_ms']}ms")
+    log(f"crawl median of {n_runs}: {crawl_sec}s -> {urls_per_sec} urls/s "
+        f"(all runs: {crawl_secs})")
 
     # ---- analytic headline queries -----------------------------------------
     def bench_q(name, df_builder):
@@ -171,6 +194,7 @@ def main() -> int:
         "urls_scheduled": urls,
         "crawl_waves": run.stats["waves"],
         "urls_per_sec": urls_per_sec,
+        "crawl_runs_sec": crawl_secs,
     }
     print(json.dumps(out), flush=True)
     return 0
