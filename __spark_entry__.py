@@ -345,6 +345,33 @@ def q_scrape_markdown(spark, sf_dir):
         "url", "status_code", "success", "title", "discovered")
 
 
+def q_scrape_cache_hits(spark, sf_dir):
+    """J3 scrape cache as a driver query (ScrapeWithCache,
+    scrape/service.go:46-69): crawl A populates the cache; crawl B
+    (one more seed, bigger budget) consumes it with cached titles
+    tagged 'CACHE:' so hits are observable in the output. Extraction
+    is a pure function of html, so the cached run is bit-identical to
+    a fresh one and the hit set is exactly scheduled(B) ∩
+    successes(A) — which is what the independent two-oracle golden
+    (scripts/make_goldens.py) computes with no engine involvement."""
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.sources import gen_pages_df, gen_seeds
+
+    pages_df, n_pages = gen_pages_df(spark, sf_dir, limit=150)
+    a = run_crawl(spark, pages_df, gen_seeds(n_pages, k=2),
+                  CrawlParams(depth=2, link_limit=25),
+                  collect_lineage=False)
+    cache = a._results_all().withColumn(
+        "title", F.concat(F.lit("CACHE:"), F.col("title")))
+    b = run_crawl(spark, pages_df, gen_seeds(n_pages, k=3),
+                  CrawlParams(depth=2, link_limit=40),
+                  scrape_cache=cache, collect_lineage=False)
+    return b.results.select(
+        "url", "crawl_ord", "status_code", "title",
+        F.col("title").startswith("CACHE:").alias("cache_hit"))
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal: REAL image bytes (PNG/GIF/JPEG synthesized per doc)
     -> typed metadata via a dependency-free header parser in
@@ -545,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark-only (rows-only check)
         "crawl_trace": q_crawl_trace,
         "scrape_markdown": q_scrape_markdown,
+        "scrape_cache_hits": q_scrape_cache_hits,
         "media_metadata": q_media_metadata,
         "media_digest": q_media_digest,
     }
@@ -897,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
         "scrape_markdown": (
             "SELECT url, status_code, success, title, discovered FROM "
             f"'{_GOLDENS}/scrape_markdown_sf001.parquet'"),
+        # J3 scrape cache: golden from TWO independent oracle runs +
+        # the pure cache-membership rule (no engine involvement)
+        "scrape_cache_hits": (
+            "SELECT url, crawl_ord, status_code, title, cache_hit FROM "
+            f"'{_GOLDENS}/scrape_cache_hits_sf001.parquet'"),
         # F8/A4: the scrape-service diagnostics are pure predicate
         # algebra — the twin re-expresses isCloudflareBlocked /
         # hasSignificantContentChange directly in SQL.

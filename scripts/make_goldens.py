@@ -94,6 +94,36 @@ def golden_scrape_markdown():
     print(f"scrape_markdown golden: success={success}")
 
 
+def golden_scrape_cache_hits():
+    """Mirror of __spark_entry__.q_scrape_cache_hits (sf0.01,
+    limit=150): TWO independent oracle runs — A (seeds k=2, L=25)
+    populates the cache, B (seeds k=3, L=40) consumes it. Extraction
+    is a pure function of html (ScrapeWithCache, scrape/service.go:
+    46-69 caches only valid results), so B's pages are the fresh-run
+    oracle pages and the hit set is exactly B ∩ successes(A)."""
+    pages = _pages(150)
+    a = crawl_oracle(pages, gen_seeds(len(pages), k=2),
+                     CrawlParams(depth=2, link_limit=25))
+    b = crawl_oracle(pages, gen_seeds(len(pages), k=3),
+                     CrawlParams(depth=2, link_limit=40))
+    rows = sorted(b.pages.values(), key=lambda r: r["crawl_ord"])
+    hits = [r["url"] in a.pages for r in rows]
+    assert any(hits) and not all(hits), \
+        "fixture must produce both cache hits and misses"
+    t = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "crawl_ord": pa.array([r["crawl_ord"] for r in rows], pa.int64()),
+        "status_code": pa.array([200] * len(rows), pa.int32()),
+        "title": pa.array(
+            [("CACHE:" + r["title"]) if h else r["title"]
+             for r, h in zip(rows, hits)], pa.string()),
+        "cache_hit": pa.array(hits, pa.bool_()),
+    })
+    pq.write_table(t, os.path.join(OUT, "scrape_cache_hits_sf001.parquet"))
+    print(f"scrape_cache_hits golden: {t.num_rows} rows, "
+          f"{sum(hits)} hits / {len(hits) - sum(hits)} misses")
+
+
 def golden_content_signature():
     """Mirror of __spark_entry__.q_content_signature (sf0.01,
     limit=60) — INDEPENDENT oracle: expectations derive from the
@@ -177,5 +207,6 @@ if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     golden_crawl_trace()
     golden_scrape_markdown()
+    golden_scrape_cache_hits()
     golden_content_signature()
     golden_screenshot_artifacts()
