@@ -12,10 +12,14 @@ out of scope here; the DATA PLANE is pure DataFrame work:
   634-638 — the reference's arrival order is stream order; the batch
   determinization orders by doc_id, the analog of crawl order).
 
-Byte-vs-char nuance: Go slices bytes (len(rawContent) > 15000);
-Spark/DuckDB substring is character-based. They agree on ASCII; the
-cross-engine oracle requires only Spark==DuckDB, which holds in
-characters.
+Byte-vs-char cap modes: Go slices BYTES (len(rawContent) > 15000,
+parse/service.go:537-540) and can cut a multi-byte UTF-8 sequence
+mid-char; `capped_content` is the character mode (Spark/DuckDB
+substring semantics — agrees with Go on ASCII, used by the SQL-oracle
+driver queries), and `capped_content_bytes` is the EXACT-PARITY byte
+mode: it operates on the utf-8 encoding as BINARY, so a split
+codepoint's partial bytes are preserved byte-for-byte as Go feeds
+them onward (test_parse_cap_bytes_mode pins the divergence point).
 
 Scale: the window rank and the grouped concat share the job_id
 partitioning (one shuffle, reused exchange); per-group payloads are
@@ -40,6 +44,23 @@ def capped_content(col, cap: int = PARSE_CONTENT_CAP):
         F.length(col) > cap,
         F.concat(F.substring(col, 1, cap), F.lit(TRUNCATION_MARK)),
     ).otherwise(col)
+
+
+def capped_content_bytes(col, cap: int = PARSE_CONTENT_CAP):
+    """Exact-parity BYTE mode of the per-page cap: Go's
+    ``rawContent[:15000] + "...[TRUNCATED]"`` slices bytes
+    (parse/service.go:537-540), which may split a multi-byte UTF-8
+    char — the partial bytes are kept. Returns BINARY: the exact byte
+    sequence the Go data plane produces (decoding would have to mangle
+    the split char, so downstream hashing/length checks consume the
+    bytes directly). Use `capped_content` (char mode) when content is
+    ASCII or DuckDB-oracle comparability matters."""
+    b = F.encode(col, "UTF-8")
+    return F.when(
+        F.octet_length(b) > cap,
+        F.concat(F.substring(b, 1, cap),
+                 F.encode(F.lit(TRUNCATION_MARK), "UTF-8")),
+    ).otherwise(b)
 
 
 def unified_prompt(df: DataFrame, job_col: str = "job_id",

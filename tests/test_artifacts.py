@@ -106,3 +106,44 @@ def test_screenshot_pipeline_and_sink(spark, tmp_path):
         assert m["served_url"].startswith("/files/screenshots/")
         assert hashlib.md5(data).hexdigest() == hashlib.md5(
             SC.render_screenshot(url)).hexdigest()
+
+
+def test_parse_cap_bytes_mode(spark):
+    """capped_content_bytes must reproduce Go's byte-slice cap EXACTLY
+    (parse/service.go:537-540), including a codepoint split mid-
+    sequence; the char mode diverges precisely there (pinned)."""
+    from supacrawler_spark.parseops import (
+        TRUNCATION_MARK,
+        capped_content,
+        capped_content_bytes,
+    )
+
+    cap = 11
+    cases = [
+        "short",                 # under cap in both modes
+        "a" * 11,                # exactly at cap (no truncation)
+        "a" * 12,                # ASCII over-cap: modes agree
+        "a" + "€" * 5,      # 16 bytes, 6 chars: byte 11 cuts the
+        #                     4th euro after its first byte (1 + 3*3)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "content string")
+    got = df.select(
+        capped_content_bytes(F.col("content"), cap).alias("b"),
+        capped_content(F.col("content"), cap).alias("c")).collect()
+
+    def go_cap(s: str) -> bytes:  # the reference rule, verbatim
+        raw = s.encode("utf-8")
+        if len(raw) > cap:
+            raw = raw[:cap] + TRUNCATION_MARK.encode()
+        return raw
+
+    for case, row in zip(cases, got):
+        assert bytes(row.b) == go_cap(case), case
+
+    # ASCII: modes agree byte-for-byte
+    assert bytes(got[2].b) == got[2].c.encode()
+    # multi-byte: byte mode carries the split euro's partial byte
+    # (b'\xe2'), char mode does not truncate at all (6 chars < 11)
+    assert bytes(got[3].b).endswith(
+        b"\xac\xe2" + TRUNCATION_MARK.encode())
+    assert got[3].c == cases[3]
