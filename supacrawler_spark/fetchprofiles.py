@@ -69,6 +69,20 @@ PROFILES = {
 RETRY_JITTER_MS = (2000, 4000)
 
 
+def strategy_name(attempt: int) -> str:
+    """Python mirror of ``strategy_for_attempt`` (used row-wise inside
+    the transport_fetch Arrow batch)."""
+    return STRATEGIES[min(int(attempt), len(STRATEGIES) - 1)]
+
+
+def profile_name_tuple(strategy: str, key: int) -> tuple:
+    """Python mirror of ``profile_for``: (user_agent, sec_ch_ua_mobile,
+    sec_ch_ua_platform) for a strategy and an integer key (pmod
+    semantics: Python % on the int64 key is already non-negative)."""
+    profiles = PROFILES[strategy]
+    return profiles[int(key) % len(profiles)]
+
+
 def strategy_for_attempt(attempt: Column) -> Column:
     """Ladder position for an attempt counter (0-based). Attempts past
     the ladder clamp to the last strategy."""

@@ -68,6 +68,43 @@ def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
     return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
 
 
+def transport_fetch(scheduled: DataFrame, transport) -> DataFrame:
+    """S2 live-path fetch stage: one mapInPandas pass over the
+    scheduled wave calling the injected transport (transport.py seam)
+    per Arrow batch. The F9 ``attempt`` column drives the S3 retry
+    ladder exactly as scrapeWithRetriesPlaywright does
+    (scrape/service.go:91-119): strategy = ladder[attempt] and the
+    deterministic header profile keyed by url_hash are resolved HERE
+    and handed to the transport. Output = scheduled columns + html,
+    the same shape fetch_join produces, so the extractor and the whole
+    downstream wave are identical between batch and live mode."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    from supacrawler_spark import fetchprofiles as FP
+
+    schema = StructType(list(scheduled.schema.fields)
+                        + [StructField("html", BinaryType())])
+
+    def run(batches):
+        for pdf in batches:
+            strategies = [FP.strategy_name(a) for a in pdf["attempt"]]
+            sub = pd.DataFrame({
+                "url": pdf["url"].tolist(),
+                "attempt": pdf["attempt"].tolist(),
+                "strategy": strategies,
+                "user_agent": [
+                    FP.profile_name_tuple(s, k)[0]
+                    for s, k in zip(strategies, pdf["url_hash"])],
+            })
+            bodies = transport.fetch(sub)
+            out = pdf.copy()
+            out["html"] = [
+                None if b is None else bytes(b) for b in bodies]
+            yield out
+
+    return scheduled.mapInPandas(run, schema)
+
+
 def make_extractor(include_html: bool, fresh: bool):
     """Build the wave-extraction mapInPandas function.
 

@@ -50,6 +50,7 @@ from supacrawler_spark.operators.fetch import (
     expand_candidates,
     fetch_join,
     make_extractor,
+    transport_fetch,
 )
 from supacrawler_spark.operators.frontier import order_exprs, politeness_select
 from supacrawler_spark.operators.rank import ordered_row_number
@@ -220,6 +221,7 @@ def run_crawl(
     pages_prepared: bool = False,
     cache_pages: bool = True,
     scrape_cache: "DataFrame | None" = None,
+    transport=None,
 ) -> CrawlRun:
     """Run a crawl over the corpus. See module docstring and oracle.py
     for the exact semantics contract.
@@ -239,6 +241,13 @@ def run_crawl(
     True forces it from the first wave (tests); False keeps the
     frontier-file scan path only. Purely a physical-plan choice —
     trace-equivalence is pinned by test_known_bucketed_equals_files.
+
+    ``transport``: an injected live-fetch seam
+    (transport.FetchTransport). When set, the wave's fetch runs
+    through ``transport_fetch`` (attempt-driven S3 retry ladder +
+    header profiles resolved per row) instead of the corpus join; a
+    transport serving the corpus is crawl-identical to the join
+    (tests/test_transport.py).
     """
     params = params or CrawlParams()
     t_init = time.time()
@@ -615,10 +624,15 @@ def run_crawl(
 
         # broadcast-semi strategy while the politeness-capped SCHEDULED
         # wave is broadcast-sized (sched_bound, computed above);
-        # shuffle-hash beyond (never sorts the corpus).
-        fetched = fetch_join(scheduled, pages_prep,
-                             small_wave=sched_bound <= SMALL_WAVE_ROWS,
-                             pages_urls=pages_urls)
+        # shuffle-hash beyond (never sorts the corpus). With an
+        # injected transport the corpus join is bypassed entirely (the
+        # live-path seam).
+        if transport is not None:
+            fetched = transport_fetch(scheduled, transport)
+        else:
+            fetched = fetch_join(scheduled, pages_prep,
+                                 small_wave=sched_bound <= SMALL_WAVE_ROWS,
+                                 pages_urls=pages_urls)
         results = fetched.mapInPandas(
             make_extractor(params.include_html, params.fresh),
             RESULT_SCHEMA)
