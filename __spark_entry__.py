@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": textops.simhash,
         # parse data plane
         "parse_prep": parseops.parse_prep,
+        "parse_templates": parseops.parse_templates,
         # similarity search
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
@@ -978,6 +979,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2000 AS BIGINT) AS output_budget, "
             "CAST((sum(length(content)) + 3) // 4 + 2000 AS BIGINT) "
             "AS total_budget FROM p GROUP BY job_id"),
+        # GET /parse/templates|examples static catalog: hand-written
+        # literal twin (the constants ARE the spec,
+        # parse/service.go:1048-1083)
+        "parse_templates": (
+            "SELECT * FROM (VALUES "
+            "('example', 'blog_crawl_streaming', CAST(NULL AS VARCHAR), "
+            "'Crawl https://example.com/blog and stream the latest posts', "
+            '\'{"properties":{"date":{"type":"string"},"title":'
+            '{"type":"string"},"url":{"type":"string"}},"type":"object"}\'),'
+            " ('example', 'product_scrape_single', CAST(NULL AS VARCHAR), "
+            "'Extract product details from "
+            "https://shop.example.com/product/123', "
+            '\'{"properties":{"name":{"type":"string"},"price":'
+            '{"type":"number"}},"type":"object"}\'),'
+            " ('template', 'intelligent_workflow', 'AI-powered parsing "
+            "with automatic scrape/crawl detection', CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS VARCHAR)),"
+            " ('template', 'schema_extraction', 'Structured data "
+            "extraction with custom JSON schemas', CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS VARCHAR)),"
+            " ('template', 'streaming_processing', 'Real-time streaming "
+            "workflow for large crawling operations', CAST(NULL AS VARCHAR),"
+            " CAST(NULL AS VARCHAR))"
+            ") AS t(kind, name, description, prompt, schema_json)"),
         # S8 screenshot artifacts: golden parquet (same pure renderer)
         "screenshot_artifacts": (
             "SELECT url, device, viewport_w, viewport_h, format, name, "

@@ -115,6 +115,54 @@ def token_usage(df: DataFrame, job_col: str = "job_id",
         (in_tok + AGG_MAX_OUTPUT_TOKENS).alias("total_budget"))
 
 
+# GET /v1/parse/templates + /v1/parse/examples static catalogs
+# (GetAvailableTemplates parse/service.go:1048-1056;
+# GetExampleOutputSpecs service.go:1058-1083; handler.go:87-105).
+# These ARE the spec — static reference data, not code.
+PARSE_TEMPLATES = {
+    "intelligent_workflow":
+        "AI-powered parsing with automatic scrape/crawl detection",
+    "streaming_processing":
+        "Real-time streaming workflow for large crawling operations",
+    "schema_extraction":
+        "Structured data extraction with custom JSON schemas",
+}
+PARSE_EXAMPLES = {
+    "blog_crawl_streaming": {
+        "prompt": "Crawl https://example.com/blog and stream the "
+                  "latest posts",
+        "schema": {"type": "object", "properties": {
+            "title": {"type": "string"}, "date": {"type": "string"},
+            "url": {"type": "string"}}},
+    },
+    "product_scrape_single": {
+        "prompt": "Extract product details from "
+                  "https://shop.example.com/product/123",
+        "schema": {"type": "object", "properties": {
+            "name": {"type": "string"}, "price": {"type": "number"}}},
+    },
+}
+
+
+def parse_templates(spark, sf_dir=None) -> DataFrame:
+    """Driver query: the static parse template/example catalog as one
+    relation (kind, name, description, prompt, schema_json) — the
+    batch surface of GET /v1/parse/templates|examples. schema_json is
+    canonical (sorted keys, compact separators) so the value is
+    engine-comparable."""
+    import json
+
+    rows = [("template", k, v, None, None)
+            for k, v in sorted(PARSE_TEMPLATES.items())]
+    rows += [("example", k, None, v["prompt"],
+              json.dumps(v["schema"], sort_keys=True,
+                         separators=(",", ":")))
+             for k, v in sorted(PARSE_EXAMPLES.items())]
+    return spark.createDataFrame(
+        rows, "kind string, name string, description string, "
+              "prompt string, schema_json string")
+
+
 def _parse_input(spark, sf_dir, cap: int, n_jobs: int,
                  rep: int) -> DataFrame:
     """Shared derivation for the parse driver queries: documents
