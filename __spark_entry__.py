@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        "cosine_near_dup": simsearch.cosine_near_dup,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -668,6 +669,36 @@ def _cosine_sql(ann: bool) -> str:
         "FROM s) "
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
         "FROM r WHERE rank <= 5")
+
+
+def _near_dup_sql() -> str:
+    """Banded-LSH cosine near-dup twin: same planes, same banding."""
+    bw = simsearch.NEAR_DUP_BAND_PLANES
+    planes = simsearch.plane_weights(simsearch.NEAR_DUP_BANDS * bw)
+
+    def band_expr(ps):
+        return " + ".join(
+            "(CASE WHEN list_inner_product(v, "
+            f"[{','.join(str(x) for x in planes[p])}]::DOUBLE[]) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i, p in enumerate(ps))
+
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band, "
+        f"{band_expr(range(b * bw, (b + 1) * bw))} AS sketch FROM e"
+        for b in range(simsearch.NEAR_DUP_BANDS))
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"bs AS ({bands}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bs a JOIN bs b ON a.band = b.band AND a.sketch = b.sketch "
+        "AND a.vec_id < b.vec_id), "
+        "sc AS (SELECT id_a, id_b, "
+        "list_cosine_similarity(ea.v, eb.v) AS score FROM cand "
+        "JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b) "
+        f"SELECT id_a, id_b, round(score, 6) AS score_r FROM sc "
+        f"WHERE score >= {simsearch.NEAR_DUP_TAU}")
 
 
 def _lsh_bucket_sql() -> str:
@@ -915,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _cosine_sql(ann=False),
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _cosine_sql(ann=True),
+        "cosine_near_dup": _near_dup_sql(),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a
         # priori by the independent pure-Python oracle (oracle.py);

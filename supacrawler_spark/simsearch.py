@@ -98,6 +98,52 @@ def lsh_buckets(spark, sf_dir, n_planes: int = N_PLANES) -> DataFrame:
                       .alias("bucket"))
 
 
+NEAR_DUP_BANDS = 2
+NEAR_DUP_BAND_PLANES = 4
+NEAR_DUP_TAU = 0.40
+
+
+def cosine_near_dup(spark, sf_dir, tau: float = NEAR_DUP_TAU,
+                    n_bands: int = NEAR_DUP_BANDS,
+                    band_planes: int = NEAR_DUP_BAND_PLANES) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family
+    counterpart of lsh_topk): banded random-hyperplane LSH generates
+    candidates — a pair qualifies iff it agrees on ALL planes of at
+    least one band, the cosine analog of textops' MinHash banding —
+    then exact cosine runs scoped to candidates only.
+
+    Scale shape: the corpus is never self-crossed. Per-vector band
+    sketches explode to (band, sketch) rows; candidates come from an
+    equi-join on that key (co-partitioned, distinct-deduped with
+    map-side combine), then one verification join fetches the two
+    vectors. Band width trades recall vs candidate volume exactly as
+    LSH_BANDS does for MinHash; at this fixture's geometry (2 bands x
+    4 planes) candidates are ~12% of all pairs."""
+    planes = plane_weights(n_bands * band_planes)
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding",
+                              lambda x: x.cast("double")).alias("v"))
+    sketches = F.array(*[
+        _bucket_expr(F.col("v"),
+                     planes[b * band_planes:(b + 1) * band_planes])
+        for b in range(n_bands)])
+    bs = emb.select(
+        "vec_id", F.posexplode(sketches).alias("band", "sketch"))
+    a = bs.select(F.col("vec_id").alias("id_a"), "band", "sketch")
+    b = bs.select(F.col("vec_id").alias("id_b"), "band", "sketch")
+    cand = (a.join(b, ["band", "sketch"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    scored = (cand.join(ea, "id_a").join(eb, "id_b")
+              .withColumn("score",
+                          _dot(F.col("va"), F.col("vb")) /
+                          (_norm(F.col("va")) * _norm(F.col("vb")))))
+    return (scored.filter(F.col("score") >= tau)
+            .select("id_a", "id_b", F.round("score", 6).alias("score_r")))
+
+
 def lsh_topk(spark, sf_dir, n_queries: int = 20, k: int = 3,
              n_planes: int = N_PLANES) -> DataFrame:
     """ANN: candidates share the query's bucket (equi-join on bucket),
