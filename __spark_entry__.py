@@ -382,6 +382,34 @@ def q_media_metadata(spark, sf_dir):
     return multimodal.media_metadata(multimodal.docs_as_media(spark, sf_dir))
 
 
+def q_media_resize(spark, sf_dir):
+    """Multimodal resize: REAL pixel path — gradient PNGs (filters
+    None/Sub/Up) are zlib-inflated, unfiltered, and nearest-neighbor
+    resampled to 8x8 inside mapInPandas; the oracle recomputes every
+    output pixel from the fixture's a-priori gradient formula, so a
+    codec or mapping bug fails the hash."""
+    from supacrawler_spark import multimodal
+    return multimodal.media_resize(
+        multimodal.docs_as_gradient_media(spark, sf_dir))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction: brightness statistics in exact
+    integer algebra over the decoded gradient pixels."""
+    from supacrawler_spark import multimodal
+    return multimodal.media_features(
+        multimodal.docs_as_gradient_media(spark, sf_dir))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every 2nd frame of the FAKV fixture
+    container; px_first/px_last read from the actual frame bytes pin
+    the sampler's offset math against the a-priori byte rule."""
+    from supacrawler_spark import multimodal
+    return multimodal.frame_sample(
+        multimodal.docs_as_video(spark, sf_dir), every=2)
+
+
 def q_media_digest(spark, sf_dir):
     """Multimodal plumbing byte-exactness: length + md5 of the binary
     payload column, computed JVM-side."""
@@ -577,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrape_cache_hits": q_scrape_cache_hits,
         "media_metadata": q_media_metadata,
         "media_digest": q_media_digest,
+        "media_resize": q_media_resize,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -943,6 +974,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes, "
             "md5(text) AS digest FROM documents"),
+        # pixel-path multimodal: the oracle recomputes pixels from the
+        # gradient fixture's a-priori formula (doc_id + 3x + 5y) % 251
+        # with dims (16 + doc_id%48, 16 + 7*doc_id%48) — fully
+        # independent of the PNG codec the Spark UDF exercises
+        "media_resize": (
+            "WITH px AS (SELECT d.doc_id, "
+            "(d.doc_id + 3*((tx.x * (16 + d.doc_id % 48)) // 8) "
+            " + 5*((ty.y * (16 + (d.doc_id * 7) % 48)) // 8)) % 251 AS v "
+            "FROM documents d, range(8) tx(x), range(8) ty(y)) "
+            "SELECT doc_id, 'png' AS format, CAST(8 AS INT) AS width, "
+            "CAST(8 AS INT) AS height, CAST(min(v) AS INT) AS px_min, "
+            "CAST(max(v) AS INT) AS px_max FROM px GROUP BY doc_id"),
+        "media_features": (
+            "WITH px AS (SELECT d.doc_id, "
+            "(16 + d.doc_id % 48) AS w, (16 + (d.doc_id * 7) % 48) AS h, "
+            "(d.doc_id + 3*tx.x + 5*ty.y) % 251 AS v "
+            "FROM documents d, range(64) tx(x), range(64) ty(y) "
+            "WHERE tx.x < (16 + d.doc_id % 48) "
+            "AND ty.y < (16 + (d.doc_id * 7) % 48)) "
+            "SELECT doc_id, 'png' AS format, CAST(w AS INT) AS width, "
+            "CAST(h AS INT) AS height, CAST(w * h AS INT) AS n_px, "
+            "CAST(sum(v) AS BIGINT) AS px_sum, "
+            "CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max "
+            "FROM px GROUP BY doc_id, w, h"),
+        "frame_sample": (
+            "WITH f AS (SELECT d.doc_id, CAST(t.f AS INT) AS frame_idx, "
+            "(16 + d.doc_id % 48) AS w, (16 + (d.doc_id * 7) % 48) AS h "
+            "FROM documents d, range(10) t(f) "
+            "WHERE t.f < 4 + d.doc_id % 7 AND t.f % 2 = 0) "
+            "SELECT doc_id, frame_idx, CAST(w AS INT) AS width, "
+            "CAST(h AS INT) AS height, "
+            "CAST((doc_id + frame_idx) % 251 AS INT) AS px_first, "
+            "CAST((doc_id + frame_idx + w * h - 1) % 251 AS INT) "
+            "AS px_last FROM f"),
         "cosine_topk": _cosine_sql(ann=False),
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _cosine_sql(ann=True),

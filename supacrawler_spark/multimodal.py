@@ -140,6 +140,341 @@ def synth_image(doc_id: int) -> "tuple[bytes, str]":
     return b"\xff\xd8" + app0 + sof0 + sos + b"\x00" + b"\xff\xd9", "jpeg"
 
 
+# ---------------------------------------------------------------------------
+# pixel decode / resize / feature-extract (real for PNG-gray8 + BMP24;
+# the codec-library seam raises NotImplementedError for JPEG/GIF)
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray(b: bytes) -> "tuple[int, int, bytes]":
+    """REAL dependency-free PNG pixel decoder for 8-bit grayscale
+    non-interlaced images: chunk walk, zlib inflate, and full
+    scanline unfiltering (None/Sub/Up/Average/Paeth). Returns
+    (width, height, row-major top-down pixel bytes)."""
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a png")
+    i = 8
+    w = h = None
+    idat = b""
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        tag = b[i + 4:i + 8]
+        data = b[i + 8:i + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8 or color != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "pixel decode implemented for 8-bit grayscale "
+                    "non-interlaced PNG; plug an image library for more")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if w is None:
+        raise ValueError("png: no IHDR")
+    raw = zlib.decompress(idat)
+    out = bytearray()
+    prev = bytes(w)
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + w])
+        pos += w
+        if ft == 0:
+            pass
+        elif ft == 1:    # Sub
+            for x in range(1, w):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ft == 2:    # Up
+            for x in range(w):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ft == 3:    # Average
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                c = prev[x - 1] if x else 0
+                row[x] = (row[x] + _paeth(a, prev[x], c)) & 0xFF
+        else:
+            raise ValueError(f"png: bad filter type {ft}")
+        out += row
+        prev = row
+    return w, h, bytes(out)
+
+
+def encode_png_gray(w: int, h: int, pix: bytes,
+                    filters: "list[int] | None" = None) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (filters 0/1/2 per row)."""
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    rows = []
+    prev = bytes(w)
+    for y in range(h):
+        row = pix[y * w:(y + 1) * w]
+        ft = filters[y % len(filters)] if filters else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF
+                        for x in range(w))
+        elif ft == 2:
+            enc = bytes((row[x] - prev[x]) & 0xFF for x in range(w))
+        else:
+            raise ValueError("encoder supports filters 0/1/2")
+        rows.append(bytes([ft]) + enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_bmp_gray(b: bytes) -> "tuple[int, int, bytes]":
+    """REAL 24-bit bottom-up BMP pixel decoder -> integer-luma
+    grayscale (r*299+g*587+b*114)//1000, row-major top-down."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a bmp")
+    off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    if bpp != 24 or h <= 0:
+        raise NotImplementedError(
+            "pixel decode implemented for 24-bit bottom-up BMP")
+    stride = (w * 3 + 3) & ~3
+    out = bytearray(w * h)
+    for y in range(h):
+        src = off + (h - 1 - y) * stride    # bottom-up rows
+        for x in range(w):
+            bb, gg, rr = b[src + 3 * x:src + 3 * x + 3]
+            out[y * w + x] = (rr * 299 + gg * 587 + bb * 114) // 1000
+    return w, h, bytes(out)
+
+
+def decode_pixels(payload: bytes) -> dict:
+    """Pixel-level decode to grayscale. REAL for PNG-gray8 and BMP24
+    (the containers this repo's fixtures emit); raises
+    NotImplementedError for JPEG/GIF entropy decoding — the clearly
+    marked seam where a real deployment plugs Pillow/libvips."""
+    b = bytes(payload or b"")
+    if b.startswith(_PNG_SIG):
+        w, h, pix = decode_png_gray(b)
+        return {"format": "png", "width": w, "height": h, "pix": pix}
+    if b[:2] == b"BM":
+        w, h, pix = decode_bmp_gray(b)
+        return {"format": "bmp", "width": w, "height": h, "pix": pix}
+    if b[:2] == b"\xff\xd8" or b[:6] in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "JPEG/GIF pixel decode requires an image codec library")
+    raise ValueError("unrecognized image container")
+
+
+def resize_nn(pix: bytes, w: int, h: int, ow: int, oh: int) -> bytes:
+    """Nearest-neighbor grayscale resample (floor mapping
+    x_in = x_out*w//ow — mirrored literally by the SQL oracle)."""
+    return bytes(pix[(y * h // oh) * w + (x * w // ow)]
+                 for y in range(oh) for x in range(ow))
+
+
+def media_resize(df: DataFrame, out_w: int = 8, out_h: int = 8,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distributed thumbnail pass: decode -> nearest-neighbor resize
+    in one mapInPandas (payload bytes die in the scan task; only slim
+    stats move on). Non-decodable payloads -> format='unsupported'."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = {id_col: int(getattr(r, id_col)),
+                       "format": "unsupported", "width": None,
+                       "height": None, "px_min": None, "px_max": None}
+                try:
+                    d = decode_pixels(getattr(r, payload_col))
+                    small = resize_nn(d["pix"], d["width"], d["height"],
+                                      out_w, out_h)
+                    rec.update(format=d["format"], width=out_w,
+                               height=out_h, px_min=min(small),
+                               px_max=max(small))
+                except (ValueError, NotImplementedError):
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(work, schema)
+
+
+def media_features(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Feature extraction over decoded pixels (brightness statistics
+    in exact integer algebra: n_px, px_sum, px_min, px_max) — one
+    mapInPandas pass, same batch shape as media_resize."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = {id_col: int(getattr(r, id_col)),
+                       "format": "unsupported", "width": None,
+                       "height": None, "n_px": None, "px_sum": None,
+                       "px_min": None, "px_max": None}
+                try:
+                    d = decode_pixels(getattr(r, payload_col))
+                    pix = d["pix"]
+                    rec.update(format=d["format"], width=d["width"],
+                               height=d["height"], n_px=len(pix),
+                               px_sum=sum(pix), px_min=min(pix),
+                               px_max=max(pix))
+                except (ValueError, NotImplementedError):
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(work, schema)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling over a deterministic fake video container (the
+# container format is a stand-in — no video codec ships here — but the
+# byte-offset parsing, sampling arithmetic, schema and batch shape are
+# the real Spark plumbing a frame sampler needs)
+# ---------------------------------------------------------------------------
+
+_FAKV_MAGIC = b"FAKV"
+
+
+def video_frames(doc_id: int) -> int:
+    """Fixture frame-count rule (a-priori, mirrored by the oracle)."""
+    return 4 + doc_id % 7
+
+
+def synth_video(doc_id: int) -> bytes:
+    """Deterministic fake video: 'FAKV' + u32le (n_frames, w, h) +
+    n_frames raw grayscale frames; frame f pixel i = (doc_id+f+i)%251
+    — every byte position is a-priori computable, so the sampler's
+    offset math is genuinely checked end to end."""
+    w, h = image_dims(doc_id)
+    n = video_frames(doc_id)
+    head = _FAKV_MAGIC + struct.pack("<III", n, w, h)
+    frames = b"".join(
+        bytes((doc_id + f + i) % 251 for i in range(w * h))
+        for f in range(n))
+    return head + frames
+
+
+def frame_sample(df: DataFrame, every: int = 2,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Sample every k-th frame of a FAKV payload: one mapInPandas pass
+    emitting one slim row per sampled frame (the row expansion happens
+    inside the Arrow batch; frame bytes never leave the task).
+    px_first/px_last are read from the actual frame bytes — wrong
+    offset math shows up immediately."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_first", T.IntegerType()),
+        T.StructField("px_last", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = bytes(getattr(r, payload_col) or b"")
+                if b[:4] != _FAKV_MAGIC or len(b) < 16:
+                    continue
+                n, w, h = struct.unpack_from("<III", b, 4)
+                fsz = w * h
+                for f in range(0, n, every):
+                    off = 16 + f * fsz
+                    rows.append({
+                        id_col: int(getattr(r, id_col)),
+                        "frame_idx": f, "width": w, "height": h,
+                        "px_first": b[off],
+                        "px_last": b[off + fsz - 1],
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(work, schema)
+
+
+def docs_as_gradient_media(spark, sf_dir) -> DataFrame:
+    """Fixture: a gradient PNG per document — pixel (x,y) =
+    (doc_id + 3x + 5y) % 251, dims from image_dims, scanline filters
+    cycling None/Sub/Up so the decoder's unfiltering is genuinely
+    exercised. Every pixel is a-priori computable by the SQL oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                w, h = image_dims(i)
+                pix = bytes((i + 3 * x + 5 * y) % 251
+                            for y in range(h) for x in range(w))
+                payloads.append(encode_png_gray(w, h, pix,
+                                                filters=[0, 1, 2]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.mapInPandas(gen, schema)
+
+
+def docs_as_video(spark, sf_dir) -> DataFrame:
+    """Fixture: a FAKV fake-video payload per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [synth_video(i) for i in ids]})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.mapInPandas(gen, schema)
+
+
 def media_metadata(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "doc_id") -> DataFrame:
     """Extract typed metadata from a binary media column via

@@ -12,6 +12,12 @@ micro-batch. Consumers get:
 - ``stream_host_windows`` per-host fetch counts over warc_ts event-time
                           windows with a watermark (late-data policy
                           the reference lacks; SURVEY.md notes none)
+- ``stream_first_seen``   the URL-seen set as a CUSTOM STATEFUL
+                          operator (applyInPandasWithState): per-bucket
+                          seen-hash state, only first occurrences pass
+                          — the streaming realization of the crawl's
+                          seen anti-join (J2), state surviving across
+                          triggers via the checkpoint
 
 All sinks are driven with ``trigger(availableNow=True)`` in tests —
 the same code attaches to a live crawl for continuous consumption.
@@ -70,6 +76,54 @@ def stream_host_windows(spark: SparkSession, state_dir: str,
             .agg(F.count("*").alias("n_fetched"))
             .select(F.col("w.start").alias("window_start"), "host",
                     "n_fetched"))
+
+
+def stream_first_seen(stream_df: DataFrame, n_buckets: int = 32,
+                      url_col: str = "url",
+                      hash_col: str = "url_hash") -> DataFrame:
+    """J2 as a custom stateful streaming operator: first-seen-wins URL
+    dedup via ``applyInPandasWithState``.
+
+    The key space is hash-bucketed (pmod(url_hash, n_buckets)) exactly
+    like the batch Bloom state — each group's state is its bucket's
+    seen-hash array, so per-task state is total/n_buckets and the
+    operator scales horizontally by bucket count. Rows whose hash is
+    already in the bucket state are dropped; state grows monotonically
+    and survives across micro-batches AND across restarts via the
+    checkpoint (tested). NoTimeout: the seen set never expires, like
+    the crawler's processed map (crawl/service.go:90)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = stream_df.schema
+    state_schema = "hashes array<long>"
+
+    def dedup(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            keep = []
+            for i, hv in enumerate(pdf[hash_col]):
+                hv = int(hv)
+                if hv not in seen:
+                    seen.add(hv)
+                    keep.append(i)
+            if keep:
+                yield pdf.iloc[keep].drop(columns=["_bucket"])
+        state.update((list(seen),))
+
+    keyed = stream_df.withColumn(
+        "_bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int"))
+    out = keyed.groupBy("_bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return out
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str,

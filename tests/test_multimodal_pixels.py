@@ -1,0 +1,106 @@
+"""Pixel-path multimodal kernels (no Spark): the real PNG-gray8
+codec (all five unfilters), BMP24 luma decode, nearest-neighbor
+resize, and the FAKV frame container — each checked against a-priori
+math, never against itself."""
+
+import struct
+
+import pytest
+
+from supacrawler_spark import multimodal as M
+
+
+def _gradient(doc_id):
+    w, h = M.image_dims(doc_id)
+    pix = bytes((doc_id + 3 * x + 5 * y) % 251
+                for y in range(h) for x in range(w))
+    return w, h, pix
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 7, 55, 123, 499])
+def test_png_roundtrip_and_resize_formula(doc_id):
+    w, h, pix = _gradient(doc_id)
+    png = M.encode_png_gray(w, h, pix, filters=[0, 1, 2])
+    assert M.decode_png_gray(png) == (w, h, pix)
+    # header parser agrees
+    assert M.decode_image(png) == {"format": "png", "width": w,
+                                   "height": h}
+    # nearest-neighbor mapping == the oracle's floor formula
+    small = M.resize_nn(pix, w, h, 8, 8)
+    want = bytes((doc_id + 3 * ((x * w) // 8) + 5 * ((y * h) // 8)) % 251
+                 for y in range(8) for x in range(8))
+    assert small == want
+
+
+def test_png_all_filter_types_unfilter():
+    # encoder emits 0/1/2; build 3 (Average) and 4 (Paeth) rows by
+    # hand to pin the remaining unfilter branches
+    import zlib
+
+    w, h = 4, 3
+    pix = bytes([10, 20, 30, 40, 15, 25, 35, 45, 100, 90, 80, 70])
+
+    def filt_avg(row, prev):
+        out = bytearray()
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            out.append((row[x] - ((a + prev[x]) >> 1)) & 0xFF)
+        return bytes(out)
+
+    def filt_paeth(row, prev):
+        out = bytearray()
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            c = prev[x - 1] if x else 0
+            out.append((row[x] - M._paeth(a, prev[x], c)) & 0xFF)
+        return bytes(out)
+
+    rows = [pix[0:4], pix[4:8], pix[8:12]]
+    raw = (b"\x00" + rows[0]
+           + b"\x03" + filt_avg(rows[1], rows[0])
+           + b"\x04" + filt_paeth(rows[2], rows[1]))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (M._PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert M.decode_png_gray(png) == (w, h, pix)
+
+
+def test_bmp_luma_decode():
+    from supacrawler_spark.screenshots import render_screenshot
+
+    b = render_screenshot("https://hot.example.org/blog/p0")
+    w, h, pix = M.decode_bmp_gray(b)
+    assert (w, h, len(pix)) == (8, 8, 64)
+    # independent luma of the top-left pixel (bottom-up row h-1)
+    off = struct.unpack("<I", b[10:14])[0]
+    stride = (w * 3 + 3) & ~3
+    bb, gg, rr = b[off + (h - 1) * stride:off + (h - 1) * stride + 3]
+    assert pix[0] == (rr * 299 + gg * 587 + bb * 114) // 1000
+
+
+def test_decode_pixels_codec_seam():
+    # JPEG/GIF pixel decode is the documented library seam
+    jpeg = M.synth_image(2)[0]
+    assert M.synth_image(2)[1] == "jpeg"
+    with pytest.raises(NotImplementedError):
+        M.decode_pixels(jpeg)
+    with pytest.raises(ValueError):
+        M.decode_pixels(b"not an image at all")
+
+
+@pytest.mark.parametrize("doc_id", [0, 5, 13, 250])
+def test_fakv_container_bytes(doc_id):
+    v = M.synth_video(doc_id)
+    n, w, h = struct.unpack_from("<III", v, 4)
+    assert n == M.video_frames(doc_id)
+    assert len(v) == 16 + n * w * h
+    for f in range(n):
+        off = 16 + f * w * h
+        assert v[off] == (doc_id + f) % 251
+        assert v[off + w * h - 1] == (doc_id + f + w * h - 1) % 251

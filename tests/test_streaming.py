@@ -48,3 +48,47 @@ def test_stream_host_windows_watermark(spark, web):
         assert all(r.n_fetched > 0 for r in rows)
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_stream_first_seen_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState URL-seen dedup: intra-batch duplicates
+    collapse to first-seen, and the per-bucket state survives a full
+    query restart via the checkpoint (a second availableNow run over
+    new files emits only genuinely-new hashes)."""
+    import os
+
+    from supacrawler_spark.streaming import stream_first_seen
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    schema = "url string, url_hash long"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def drain():
+        # file sink (memory sink cannot recover from a checkpoint)
+        q = (stream_first_seen(
+                spark.readStream.schema(schema).parquet(src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.schema(schema).parquet(out).collect()
+
+    emit([("u1", 1), ("u2", 2), ("u3", 3), ("u2-dup", 2)])
+    got1 = drain()
+    assert sorted(r.url_hash for r in got1) == [1, 2, 3]
+    assert "u2-dup" not in {r.url for r in got1}
+
+    emit([("u2-again", 2), ("u3-again", 3), ("u4", 4)])
+    got2 = drain()
+    new = [(r.url, r.url_hash) for r in got2
+           if r.url not in {g.url for g in got1}]
+    assert new == [("u4", 4)]
+    assert len(got2) == len(got1) + 1
