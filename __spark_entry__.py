@@ -410,6 +410,15 @@ def q_frame_sample(spark, sf_dir):
         multimodal.docs_as_video(spark, sf_dir), every=2)
 
 
+def q_audio_metadata(spark, sf_dir):
+    """Multimodal audio: REAL RIFF/WAVE chunk-walk parsing of complete
+    WAV containers; the oracle recomputes channels/rate/bits/samples/
+    duration from the fixture's a-priori rule."""
+    from supacrawler_spark import multimodal
+    return multimodal.audio_metadata(
+        multimodal.docs_as_audio(spark, sf_dir))
+
+
 def q_media_digest(spark, sf_dir):
     """Multimodal plumbing byte-exactness: length + md5 of the binary
     payload column, computed JVM-side."""
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "audio_metadata": q_audio_metadata,
     }
 
 
@@ -998,6 +1008,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(v) AS BIGINT) AS px_sum, "
             "CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max "
             "FROM px GROUP BY doc_id, w, h"),
+        "audio_metadata": (
+            "WITH p AS (SELECT doc_id, "
+            "CAST(1 + doc_id % 2 AS INT) AS channels, "
+            "CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 "
+            "WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END AS INT) "
+            "AS sample_rate, "
+            "CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) "
+            "AS bits, "
+            "CAST(256 + (doc_id * 13) % 1024 AS INT) AS n_samples "
+            "FROM documents) "
+            "SELECT doc_id, channels, sample_rate, bits, n_samples, "
+            "CAST(n_samples * 1000 // sample_rate AS INT) AS duration_ms "
+            "FROM p"),
         "frame_sample": (
             "WITH f AS (SELECT d.doc_id, CAST(t.f AS INT) AS frame_idx, "
             "(16 + d.doc_id % 48) AS w, (16 + (d.doc_id * 7) % 48) AS h "

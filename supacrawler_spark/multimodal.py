@@ -368,6 +368,107 @@ def media_features(df: DataFrame, payload_col: str = "payload",
 
 
 # ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE header parsing over deterministic fixtures
+# ---------------------------------------------------------------------------
+
+def audio_params(doc_id: int) -> "tuple[int, int, int, int]":
+    """Fixture rule: (channels, sample_rate, bits, n_samples) —
+    a-priori, mirrored literally by the SQL oracle."""
+    return (1 + doc_id % 2,
+            (8000, 16000, 22050, 44100)[doc_id % 4],
+            (8, 16)[doc_id % 2],
+            256 + (doc_id * 13) % 1024)
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """A real, complete RIFF/WAVE container (PCM fmt chunk + data
+    chunk; sample bytes cycle a doc_id-seeded pattern) with dims from
+    audio_params."""
+    ch, rate, bits, n = audio_params(doc_id)
+    block = ch * bits // 8
+    data = bytes((doc_id + i) % 251 for i in range(n * block))
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL dependency-free RIFF/WAVE header parser: chunk walk to
+    'fmt ' and 'data', returning channels / sample_rate / bits /
+    n_samples / duration_ms. Raises ValueError on non-WAV bytes."""
+    b = bytes(payload or b"")
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    i = 12
+    fmt = None
+    data_len = None
+    while i + 8 <= len(b):
+        tag = b[i:i + 4]
+        ln = struct.unpack("<I", b[i + 4:i + 8])[0]
+        if tag == b"fmt " and ln >= 16:
+            fmt = struct.unpack("<HHIIHH", b[i + 8:i + 24])
+        elif tag == b"data":
+            data_len = ln
+        i += 8 + ln + (ln & 1)   # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    _audio_fmt, ch, rate, _bps, block, bits = fmt
+    n_samples = data_len // block if block else 0
+    return {"channels": ch, "sample_rate": rate, "bits": bits,
+            "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // rate if rate else 0}
+
+
+def audio_metadata(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Typed audio metadata from binary payloads via mapInPandas
+    (same batch shape as media_metadata; payloads never shuffle)."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rec = {id_col: int(getattr(r, id_col)),
+                       "channels": None, "sample_rate": None,
+                       "bits": None, "n_samples": None,
+                       "duration_ms": None}
+                try:
+                    rec.update(decode_wav(getattr(r, payload_col)))
+                except ValueError:
+                    pass
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.mapInPandas(work, schema)
+
+
+def docs_as_audio(spark, sf_dir) -> DataFrame:
+    """Fixture: a real WAV payload per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [synth_wav(i) for i in ids]})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
 # frame sampling over a deterministic fake video container (the
 # container format is a stand-in — no video codec ships here — but the
 # byte-offset parsing, sampling arithmetic, schema and batch shape are

@@ -104,3 +104,30 @@ def test_fakv_container_bytes(doc_id):
         off = 16 + f * w * h
         assert v[off] == (doc_id + f) % 251
         assert v[off + w * h - 1] == (doc_id + f + w * h - 1) % 251
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 7, 123])
+def test_wav_roundtrip_against_fixture_rule(doc_id):
+    ch, rate, bits, n = M.audio_params(doc_id)
+    got = M.decode_wav(M.synth_wav(doc_id))
+    assert got == {"channels": ch, "sample_rate": rate, "bits": bits,
+                   "n_samples": n,
+                   "duration_ms": n * 1000 // rate}
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError):
+        M.decode_wav(b"OggS not a wav")
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFF\x04\x00\x00\x00AVI ")  # RIFF but not WAVE
+
+
+def test_wav_odd_chunk_alignment():
+    # a 3-byte junk chunk before fmt must be skipped with word padding
+    import struct
+
+    base = M.synth_wav(5)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # padded to 4
+    patched = base[:12] + junk + base[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert M.decode_wav(patched) == M.decode_wav(base)
