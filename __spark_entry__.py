@@ -410,6 +410,20 @@ def q_frame_sample(spark, sf_dir):
         multimodal.docs_as_video(spark, sf_dir), every=2)
 
 
+def q_parse_robots(spark, sf_dir):
+    """F5 source path: raw robots.txt text -> exploded rule rows via
+    the RFC-9309 group-selection parser (robotskit). The oracle
+    mirrors the fixture's a-priori rule pattern (even hids carry a
+    more specific agent group that shades '*')."""
+    from supacrawler_spark import robotskit
+    from supacrawler_spark.sources.synth import host_name, n_hosts
+
+    rows = [(host_name(h), robotskit.synth_robots_txt(h))
+            for h in range(n_hosts())]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    return robotskit.parse_robots_rules(df)
+
+
 def q_audio_metadata(spark, sf_dir):
     """Multimodal audio: REAL RIFF/WAVE chunk-walk parsing of complete
     WAV containers; the oracle recomputes channels/rate/bits/samples/
@@ -618,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "audio_metadata": q_audio_metadata,
+        "parse_robots": q_parse_robots,
     }
 
 
@@ -1008,6 +1023,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(v) AS BIGINT) AS px_sum, "
             "CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max "
             "FROM px GROUP BY doc_id, w, h"),
+        # F5 robots.txt parser: the oracle re-derives the rule rows
+        # from the fixture's a-priori pattern (hot host = hid 0;
+        # even hids: the specific agent group shades '*')
+        "parse_robots": (
+            "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "
+            "CASE WHEN t.x = 0 THEN 'hot.example.org' "
+            "ELSE 'h' || t.x || '.example.org' END AS host "
+            "FROM range(42) t(x)) "
+            "SELECT host, 'disallow' AS kind, CAST(0 AS INT) AS pos, "
+            "CASE WHEN hid % 2 = 0 THEN '/news/' ELSE '/product/' END "
+            "AS value FROM h "
+            "UNION ALL SELECT host, 'allow', CAST(0 AS INT), "
+            "'/product/open' FROM h WHERE hid % 2 = 1 "
+            "UNION ALL SELECT host, 'crawl_delay_ms', CAST(0 AS INT), "
+            "CAST((1 + hid % 5) * 1000 AS VARCHAR) FROM h "
+            "WHERE hid % 2 = 0"),
         "audio_metadata": (
             "WITH p AS (SELECT doc_id, "
             "CAST(1 + doc_id % 2 AS INT) AS channels, "
