@@ -313,6 +313,11 @@ def q_lsh_topk(spark, sf_dir):
         "query_id", "rank", "neighbor_id")
 
 
+def q_ivf_topk(spark, sf_dir):
+    return simsearch.ivf_topk(spark, sf_dir).select(
+        "query_id", "rank", "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # Group E — Spark-only (rows-only check: non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -613,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_buckets": q_lsh_buckets,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "cosine_near_dup": simsearch.cosine_near_dup,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
@@ -725,6 +731,43 @@ def _cosine_sql(ann: bool) -> str:
         "FROM s) "
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
         "FROM r WHERE rank <= 5")
+
+
+def _ivf_sql(n_queries: int = 20, k: int = 3, n_probe: int = 2) -> str:
+    """IVF twin: same integer-grid centroid derivation, same
+    assignment/probe/verify structure."""
+    return (
+        "WITH e AS (SELECT vec_id, label, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "x AS (SELECT label, generate_subscripts(embedding, 1) AS pos, "
+        "unnest(embedding) AS val FROM embeddings), "
+        "s AS (SELECT label, pos, "
+        "CAST(sum(CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(20,10)) "
+        "* CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)) AS BIGINT) "
+        "AS se10, count(*) AS n FROM x GROUP BY label, pos), "
+        "cent AS (SELECT label, "
+        "list(CAST(se10 AS DOUBLE) / (n * 10000000000) ORDER BY pos) "
+        "AS c FROM s GROUP BY label), "
+        "cellscore AS (SELECT e.vec_id, e.v, cent.label, "
+        "list_inner_product(e.v, cent.c) AS score, "
+        "row_number() OVER (PARTITION BY e.vec_id "
+        "ORDER BY list_inner_product(e.v, cent.c) DESC, cent.label) "
+        "AS rk FROM e CROSS JOIN cent), "
+        "asg AS (SELECT vec_id, label AS cell FROM cellscore "
+        "WHERE rk = 1), "
+        "qp AS (SELECT vec_id AS query_id, v AS qv, label AS cell "
+        f"FROM cellscore WHERE vec_id < {n_queries} "
+        f"AND rk <= {n_probe}), "
+        "cand AS (SELECT e.vec_id AS neighbor_id, e.v AS cv, asg.cell "
+        f"FROM e JOIN asg USING (vec_id) WHERE e.vec_id >= {n_queries}), "
+        "sc AS (SELECT query_id, neighbor_id, "
+        "list_cosine_similarity(qv, cv) AS score "
+        "FROM cand JOIN qp USING (cell)), "
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id) "
+        "AS rank FROM sc) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
+        f"FROM r WHERE rank <= {k}")
 
 
 def _near_dup_sql() -> str:
@@ -1065,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _cosine_sql(ann=False),
         "lsh_buckets": _lsh_bucket_sql(),
         "lsh_topk": _cosine_sql(ann=True),
+        "ivf_topk": _ivf_sql(),
         "cosine_near_dup": _near_dup_sql(),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a

@@ -98,6 +98,88 @@ def lsh_buckets(spark, sf_dir, n_planes: int = N_PLANES) -> DataFrame:
                       .alias("bucket"))
 
 
+E10 = 10_000_000_000
+
+
+def _centroids(emb_labeled: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: per-label centroids, (label, c: double[]).
+
+    Cross-engine determinism: per-dimension values are scaled to an
+    exact integer 1e-10 grid BEFORE the distributed sum (integer sums
+    are order-independent; float sums are not — the label_centroids
+    lesson), then divided back to double. Both engines therefore hold
+    bit-identical centroid arrays."""
+    x = emb_labeled.select(
+        "label", F.posexplode("v").alias("pos", "val"))
+    e10 = (F.col("val").cast("decimal(20,10)")
+           * F.lit(E10).cast("decimal(11,0)")).cast("bigint")
+    sums = (x.select("label", "pos", e10.alias("e"))
+            .groupBy("label", "pos")
+            .agg(F.sum("e").alias("s"), F.count("*").alias("n")))
+    cd = F.col("s").cast("double") / (F.col("n") * F.lit(E10))
+    return (sums.select("label", "pos", cd.alias("cd"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cd"))),
+                lambda s: s["cd"]).alias("c")))
+
+
+def ivf_topk(spark, sf_dir, n_queries: int = 20, k: int = 3,
+             n_probe: int = 2) -> DataFrame:
+    """ANN, IVF variant (the other scale path besides LSH): a coarse
+    quantizer (deterministic per-label centroids) partitions the
+    corpus into inverted lists; each query probes its ``n_probe``
+    nearest centroids and exact-searches only those lists.
+
+    Scale shape: the centroid table is tiny and BROADCAST; cell
+    assignment is map-side (crossJoin against the broadcast + a
+    map-side-combinable max(struct) argmax — each vector's 80
+    candidate rows collapse before the exchange); the probe join is an
+    equi-join on cell. No corpus self-cross anywhere. At 100 TB,
+    nlist grows with corpus size and n_probe trades recall vs scan
+    fraction, exactly like FAISS IVF."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    cent = _centroids(emb).select(
+        F.col("label").alias("cell_label"), "c")
+
+    scored_cells = (emb.drop("label")
+                    .crossJoin(F.broadcast(cent))
+                    .withColumn("score", _dot(F.col("v"), F.col("c")))
+                    .withColumnRenamed("cell_label", "label"))
+    # assignment: argmax score, ties -> smallest label (max struct
+    # compares score then -label; map-side combinable)
+    asg = (scored_cells
+           .select("vec_id", F.struct(
+               F.col("score"), (-F.col("label")).alias("nl")).alias("sc"))
+           .groupBy("vec_id").agg(F.max("sc").alias("m"))
+           .select("vec_id", (-F.col("m.nl")).alias("cell")))
+
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("label"))
+    q_probe = (scored_cells.filter(F.col("vec_id") < n_queries)
+               .withColumn("rk", F.row_number().over(wq))
+               .filter(F.col("rk") <= n_probe)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.col("label").alias("cell")))
+    cand = (emb.filter(F.col("vec_id") >= n_queries)
+            .join(asg, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("v").alias("cv"), "cell"))
+    scored = (cand.join(q_probe, "cell")
+              .withColumn("score",
+                          _dot(F.col("qv"), F.col("cv")) /
+                          (_norm(F.col("qv")) * _norm(F.col("cv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("score", 6).alias("score_r")))
+
+
 NEAR_DUP_BANDS = 2
 NEAR_DUP_BAND_PLANES = 4
 NEAR_DUP_TAU = 0.40
