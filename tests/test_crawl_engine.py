@@ -247,6 +247,41 @@ def test_known_bucketed_resume(spark, web):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def test_bucketized_corpus_equals_default(spark, web):
+    """bucketize_pages (the Iceberg bucket-partitioning stand-in for
+    the corpus side) + pages_prepared=True must produce the identical
+    crawl — including through the forced SHUFFLE_HASH fetch path,
+    where the bucketed corpus is the one whose shuffle disappears."""
+    import pytest
+
+    from supacrawler_spark.plans import crawl as crawl_mod
+    from supacrawler_spark.plans.crawl import bucketize_pages
+
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=40)
+    base = run_crawl(spark, pages_df, seeds, params)
+    t_base = [tuple(r) for r in base.trace.collect()]
+
+    bucketed = bucketize_pages(spark, pages_df,
+                               table="pages_bucketed_test", n_buckets=8)
+    try:
+        run_b = run_crawl(spark, bucketed, seeds, params,
+                          pages_prepared=True, cache_pages=False)
+        assert [tuple(r) for r in run_b.trace.collect()] == t_base
+
+        mp = pytest.MonkeyPatch()
+        try:
+            mp.setattr(crawl_mod, "SMALL_WAVE_ROWS", 0)
+            run_s = run_crawl(spark, bucketed, seeds, params,
+                              pages_prepared=True, cache_pages=False)
+        finally:
+            mp.undo()
+        assert [tuple(r) for r in run_s.trace.collect()] == t_base
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_test")
+
+
 def test_unlimited_terminates_and_matches(spark, web):
     run, orc = _run_case(spark, web, CrawlParams(depth=3))
     assert run.stats["waves"] == len(orc.waves)
