@@ -247,6 +247,34 @@ def test_known_bucketed_resume(spark, web):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def test_large_politeness_dim_broadcast_path(spark, web):
+    """politeness_df dims above 1024 rows skip the collected-dict
+    literal-MAP path and take the broadcast-join path
+    (plans/crawl.py pol_arg gate + operators/frontier.py J4) — pad
+    the real dim with 1500 phantom hosts to force it; the crawl must
+    be identical."""
+    from pyspark.sql import functions as F
+
+    from supacrawler_spark.sources import gen_politeness_df
+
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=30)
+    pol = gen_politeness_df(spark, max_parallel=2)
+    base = run_crawl(spark, pages_df, seeds, params, politeness_df=pol)
+
+    phantoms = spark.range(1500).select(
+        F.concat(F.lit("phantom"), F.col("id"), F.lit(".example.net"))
+        .alias("host"),
+        F.lit(2).cast("int").alias("max_parallel"),
+        F.lit(500).cast("int").alias("delay_ms"))
+    big = pol.unionByName(phantoms)
+    run_big = run_crawl(spark, pages_df, seeds, params,
+                        politeness_df=big)
+    assert [tuple(r) for r in run_big.trace.collect()] == \
+           [tuple(r) for r in base.trace.collect()]
+
+
 def test_bucketized_corpus_equals_default(spark, web):
     """bucketize_pages (the Iceberg bucket-partitioning stand-in for
     the corpus side) + pages_prepared=True must produce the identical
