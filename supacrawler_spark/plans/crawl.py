@@ -471,6 +471,33 @@ def run_crawl(
             shutil.rmtree(os.path.join(state_dir, f"known_{old_gen}"),
                           ignore_errors=True)
 
+    # like the bloom adds, the known append only has to land before
+    # the NEXT wave's anti-join reads the table — run it on a
+    # background thread so it overlaps that wave's (much longer)
+    # fetch+extract job instead of adding fixed latency to every wave.
+    # The join discipline (joined before every known_df() use and at
+    # run end) serializes appends, so the bucketed table never sees
+    # two concurrent writers; failures propagate — a lost append would
+    # silently drop discoveries via the anti-join.
+    known_pending: list = []
+    known_errors: list = []
+
+    def _known_append_async(df):
+        def work():
+            try:
+                _known_append(df)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                known_errors.append(e)
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        known_pending.append(th)
+
+    def _known_join():
+        while known_pending:
+            known_pending.pop().join()
+        if known_errors:
+            raise known_errors[0]
+
     def known_df() -> "DataFrame | None":
         if known_state["tbl"] is not None:
             return spark.table(known_state["tbl"])
@@ -672,6 +699,8 @@ def run_crawl(
             cand = expand_candidates(
                 res_df, params.include_subdomains, params.patterns,
                 robots_df, max_depth=D)
+            # the anti-join below must see every known append issued
+            _known_join()
             if (bucket_known is not False
                     and known_state["tbl"] is None
                     and (bucket_known is True
@@ -793,10 +822,11 @@ def run_crawl(
                 _bloom_add_async(raw.filter("is_new").select("url_hash"))
             if known_state["tbl"] is not None and n_new:
                 # this wave's accepted candidates become `known` for
-                # wave it+1; crash before the manifest line is healed
-                # by the engage-time overwrite rebuild on resume
-                _known_append(raw.filter("is_new")
-                              .select("url", "url_hash"))
+                # wave it+1 (joined before that wave's anti-join);
+                # crash before the manifest line is healed by the
+                # engage-time overwrite rebuild on resume
+                _known_append_async(raw.filter("is_new")
+                                    .select("url", "url_hash"))
             if ML is not None and discovered_cnt + n_new >= ML:
                 limit_reached = True
             discovered_cnt += n_new
@@ -822,6 +852,7 @@ def run_crawl(
 
     t_post = time.time()
     _bloom_join()  # bloom state must be durable before the run returns
+    _known_join()
     if known_state["tbl"] is not None:
         # catalog entry is session-scoped derived state; the files are
         # rebuildable from frontier commits (resume re-engages)
