@@ -61,3 +61,27 @@ def test_attempt_column_drives_ladder_through_transport(spark, web):
     ok = {r.url for r in run.results.collect()}
     assert flaky[0] in ok, \
         "second attempt (mobile_device strategy) must succeed"
+
+
+def test_transport_with_scrape_cache(spark, web):
+    """Transport and scrape-cache compose: cache hits bypass the
+    transport entirely; misses fetch through it. The combined run is
+    bit-identical to the plain corpus-join crawl."""
+    from pyspark.sql import functions as F
+
+    pages_df, pages_local, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=30)
+    base = run_crawl(spark, pages_df, seeds, params)
+
+    # cache from the base run, poisoned so hits are detectable;
+    # transport serving the corpus handles the misses
+    poisoned = base._results_all().withColumn(
+        "title", F.concat(F.lit("CACHED:"), F.col("title")))
+    run = run_crawl(spark, pages_df, seeds, params,
+                    scrape_cache=poisoned,
+                    transport=MockTransport(pages_local))
+    assert _trace(run) == _trace(base)
+    titles = {r.title for r in run.results.collect()}
+    assert any(t and t.startswith("CACHED:") for t in titles), \
+        "cache must serve hits"
