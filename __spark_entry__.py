@@ -600,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         # text analysis
         "token_count": textops.token_count,
+        "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
@@ -931,6 +932,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
             "AS n_tokens, CAST(length(text) AS INT) AS len_chars "
+            "FROM documents"),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT) "
+            "AS n_bpe_pieces, "
+            "CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens "
             "FROM documents"),
         "quality_score": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) "

@@ -58,6 +58,26 @@ def token_count(spark, sf_dir) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer pattern (the GPT-2 pre-tokenizer shape,
+# lookahead-free so Java regex (Spark codegen) and RE2 (DuckDB twin)
+# agree exactly): optional leading space + letter run | digit run |
+# punctuation run, else whitespace run.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(spark, sf_dir) -> DataFrame:
+    """Token counting, BPE-ish variant: counts pre-tokenizer pieces
+    via a native regexp_count — JVM-side, map-only, no UDF. The
+    whitespace count (token_count) underestimates LLM token budgets
+    on punctuation-heavy text; this is the standard first-order
+    estimator used by training-data pipelines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).alias("n_bpe_pieces"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
 def quality_score(spark, sf_dir) -> DataFrame:
     """Quality signals: token stats + stopword ratio. One shuffle
     (groupBy doc_id) with map-side partial aggregation."""
