@@ -484,6 +484,39 @@ _SIG_PAIR_SQL = (
 )
 
 
+def q_stream_first_seen(spark, sf_dir):
+    """§2.9 custom stateful streaming as a driver query (VERDICT r3
+    #5): a multi-batch parquet-source stream of colliding URLs drains
+    through the applyInPandasWithState first-seen operator
+    (streaming.stream_first_seen — per-bucket seen-hash state across
+    micro-batches); the emitted rows are exactly the first occurrences,
+    so their url SET equals the batch DISTINCT of the same events — the
+    DuckDB twin. Output is the set (order-independent), not the
+    surviving ordinals, so the check is deterministic under any
+    micro-batch partitioning."""
+    import tempfile
+
+    from supacrawler_spark.streaming import stream_first_seen
+
+    events = _t(spark, sf_dir, "documents").selectExpr(
+        "'https://s' || CAST(doc_id % 211 AS STRING) || '.example.org/p'"
+        " || CAST(doc_id % 211 AS STRING) AS url"
+    ).withColumn("url_hash", F.xxhash64("url"))
+    base = tempfile.mkdtemp(prefix="stream_seen_")
+    src = os.path.join(base, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("url string, url_hash long")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = os.path.join(base, "out")
+    q = (stream_first_seen(stream).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.schema("url string, url_hash long").parquet(out)
+            .select("url"))
+
+
 def q_cloudflare_detect(spark, sf_dir):
     """F8: the Cloudflare-challenge predicate over synthetic scrape
     responses — native contains algebra, no UDF, map-only."""
@@ -640,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "audio_metadata": q_audio_metadata,
         "parse_robots": q_parse_robots,
+        # streaming (stateful first-seen; batch-projection oracle)
+        "stream_first_seen": q_stream_first_seen,
     }
 
 
@@ -1210,4 +1245,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, device, viewport_w, viewport_h, format, name, "
             "n_bytes, digest FROM "
             f"'{_GOLDENS}/screenshot_artifacts_sf001.parquet'"),
+        # §2.9 stateful streaming, batch projection: the first-seen
+        # operator's emitted url set == DISTINCT of the event urls
+        "stream_first_seen": (
+            "SELECT DISTINCT 'https://s' || CAST(doc_id % 211 AS VARCHAR)"
+            " || '.example.org/p' || CAST(doc_id % 211 AS VARCHAR) AS url"
+            " FROM documents"),
     }

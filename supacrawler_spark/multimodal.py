@@ -42,6 +42,15 @@ MEDIA_DIGEST_SCHEMA = T.StructType([
     T.StructField("digest", T.StringType()),
 ])
 
+# Everything a corrupt/truncated payload can raise out of the pure-bytes
+# decoders: zlib.error (bad/short IDAT), struct.error (truncated fixed
+# headers), IndexError (short inflated data / short pixel rows), plus the
+# deliberate ValueError / NotImplementedError signals. Per-row handlers
+# catch this tuple so a single bad payload degrades to the documented
+# format='unsupported'/null row instead of failing the Spark job.
+_ROW_DECODE_ERRORS = (ValueError, NotImplementedError, zlib.error,
+                      struct.error, IndexError)
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # JPEG SOF markers carry dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -320,7 +329,7 @@ def media_resize(df: DataFrame, out_w: int = 8, out_h: int = 8,
                     rec.update(format=d["format"], width=out_w,
                                height=out_h, px_min=min(small),
                                px_max=max(small))
-                except (ValueError, NotImplementedError):
+                except _ROW_DECODE_ERRORS:
                     pass
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
@@ -359,7 +368,7 @@ def media_features(df: DataFrame, payload_col: str = "payload",
                                height=d["height"], n_px=len(pix),
                                px_sum=sum(pix), px_min=min(pix),
                                px_max=max(pix))
-                except (ValueError, NotImplementedError):
+                except _ROW_DECODE_ERRORS:
                     pass
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
@@ -444,7 +453,7 @@ def audio_metadata(df: DataFrame, payload_col: str = "payload",
                        "duration_ms": None}
                 try:
                     rec.update(decode_wav(getattr(r, payload_col)))
-                except ValueError:
+                except _ROW_DECODE_ERRORS:
                     pass
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in schema])
@@ -523,8 +532,13 @@ def frame_sample(df: DataFrame, every: int = 2,
                     continue
                 n, w, h = struct.unpack_from("<III", b, 4)
                 fsz = w * h
+                if fsz <= 0:
+                    continue
                 for f in range(0, n, every):
                     off = 16 + f * fsz
+                    # truncated payload: only frames fully in the buffer
+                    if off + fsz > len(b):
+                        break
                     rows.append({
                         id_col: int(getattr(r, id_col)),
                         "frame_idx": f, "width": w, "height": h,

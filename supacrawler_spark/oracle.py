@@ -100,23 +100,46 @@ def crawl_oracle(
     params: CrawlParams,
     politeness: "dict[str, int] | None" = None,
     robots_rules: "dict | None" = None,
+    politeness_delay: "dict[str, int] | None" = None,
 ) -> OracleResult:
     """Run the deterministic crawl over an in-memory corpus.
 
     ``pages``: canonical url -> html string. ``seeds``: (url,
     seed_rank). ``politeness``: host -> per-wave budget (default 10).
-    ``robots_rules``: host -> {"allow": [...], "disallow": [...]}.
+    ``robots_rules``: host -> {"allow": [...], "disallow": [...],
+    "crawl_delay_ms": int (optional)}. ``politeness_delay``: host ->
+    delay_ms (the politeness dim's delay column).
+
+    Per-host delays fold into the budget exactly as the engine does:
+    effective delay d = max(politeness_delay, robots crawl_delay_ms);
+    B_eff(host) = min(budget, ceil(wave_window_ms / d)) with integer
+    ceil (W + d - 1) // d. A host with d > W still gets 1 slot/wave.
     """
     politeness = politeness or {}
+    politeness_delay = politeness_delay or {}
     robots_ok = _robots_fn(robots_rules)
+    W = params.wave_window_ms
+
+    def _budget(host):
+        b = politeness.get(host, DEFAULT_HOST_BUDGET)
+        delays = [politeness_delay.get(host),
+                  (robots_rules or {}).get(host, {}).get("crawl_delay_ms")]
+        d = max([x for x in delays if x], default=None)
+        if d and d > 0:
+            b = min(b, (W + d - 1) // d)
+        return b
     res = OracleResult()
     D = params.max_depth
     ML = params.discovery_cap
     L = params.link_limit
 
     frontier = []
+    seed_set = set()
     for raw_url, rank in sorted(seeds, key=lambda s: s[1]):
         cu = U.canonical_url(raw_url)
+        if cu in seed_set:
+            continue  # duplicate seeds collapse: min seed_rank wins
+        seed_set.add(cu)  # (a url is crawled once — processed map)
         frontier.append(dict(url=cu, host=U.extract_host(cu), depth=0,
                              parent_ord=-1, link_pos=rank, seed_rank=rank,
                              seed_host=U.extract_host(cu)))
@@ -138,7 +161,7 @@ def crawl_oracle(
         per_host = defaultdict(int)
         selected, deferred = [], []
         for row in frontier:
-            budget = politeness.get(row["host"], DEFAULT_HOST_BUDGET)
+            budget = _budget(row["host"])
             if per_host[row["host"]] < budget:
                 per_host[row["host"]] += 1
                 selected.append(row)

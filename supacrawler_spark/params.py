@@ -29,6 +29,20 @@ class CrawlParams:
     #                                     564-571), up to max_retries
     #                                     total attempts
     max_retries: int = 3                # TASK_MAX_RETRIES (config.go:90)
+    wave_window_ms: int = 10_000        # batch determinization window
+    #                                     for per-host delays: a host
+    #                                     with effective delay d gets
+    #                                     B_eff = min(max_parallel,
+    #                                     ceil(wave_window_ms / d))
+    #                                     slots per wave. Folds robots
+    #                                     Crawl-delay and the dim's
+    #                                     delay_ms into the politeness
+    #                                     budget (colly RandomDelay
+    #                                     <=500ms, mapper/service.go:93,
+    #                                     122: at the default window a
+    #                                     500ms delay gives 20 >= the
+    #                                     reference Parallelism 10, so
+    #                                     the default never binds).
 
     def __post_init__(self):
         self.patterns = tuple(self.patterns or ())

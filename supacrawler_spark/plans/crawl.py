@@ -186,22 +186,130 @@ def _prune_uncommitted(state_dir: str, last_iter: int) -> None:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
 
-def _read_frontier(spark, path: str, seed_urls) -> DataFrame:
+def _read_frontier(spark, path: str, seedset: "_SeedSet") -> DataFrame:
     """Schedulable frontier view of a committed frontier file: the
     is_new seed-pointing rows are known-set-only entries, never
     scheduled."""
     raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(path)
-    return (raw.filter(~(F.col("is_new") & F.col("url").isin(seed_urls)))
+    return (seedset.flag(raw)
+            .filter(~(F.col("is_new") & F.col("_seed")))
             .select(*FRONTIER_SCHEMA.fieldNames()))
 
 
 def _seed_frontier(spark, seeds) -> DataFrame:
     rows = []
+    dedup = set()
     for raw_url, rank in sorted(seeds, key=lambda s: s[1]):
         cu = U.canonical_url(raw_url)
+        if cu in dedup:
+            continue  # duplicate seeds collapse: min seed_rank wins
+        dedup.add(cu)
         rows.append((cu, U.extract_host(cu), U.url_hash64(cu), 0, -1,
                      int(rank), int(rank), U.extract_host(cu), 0.0, 0))
     return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+
+# A seed list at or below this count stays a driver-side literal (zero
+# extra per-wave jobs: the membership test is an IN-list Catalyst can
+# constant-fold). Above it — or when the caller passes a DataFrame —
+# the seeds become a canonical parquet dim and every membership test is
+# a broadcast join, so neither the driver nor the plan grows with seed
+# count (the north rule's input is a Common-Crawl-style seed LIST).
+SEED_DIM_THRESHOLD = 1024
+
+_SEED_DIM_SCHEMA = "url string, host string, url_hash long, seed_rank int"
+
+
+class _SeedSet:
+    """Seed handling at two scales.
+
+    Literal mode (small lists): canonical urls live in a Python list;
+    the wave-0 frontier is a tiny createDataFrame and seed-membership
+    predicates are IN-lists — exactly the pre-dim behavior.
+
+    Dim mode (large lists / DataFrame input): seeds are canonicalized
+    by the vectorized ``canon_info`` kernel (the driver never touches
+    seed rows), persisted once under ``state_dir/seeds_dim`` (resume
+    reuses the files), with a distinct-url key table alongside
+    (``seeds_keys``) so the per-wave membership flag is a broadcast
+    left join that never fans out a joined row.
+
+    Duplicate seeds (same canonical url) collapse to the minimum
+    seed_rank in BOTH modes — a url is crawled at most once (the
+    processed-map invariant); the oracle mirrors this.
+
+    The mapper's `links` set never contains seeds (mapper/
+    service.go:39, 146-152): a discovered link equal to a seed IS
+    emitted and consumes discovery budget, so seeds are excluded from
+    the anti-join set and instead dropped from the next frontier
+    post-cap (the crawler's processed map rejects them,
+    crawl/service.go:525-527) — via ``flag``.
+    """
+
+    def __init__(self, spark, seeds, state_dir: str, resume: bool,
+                 force_dim: "bool | None" = None):
+        self.spark = spark
+        self.urls: "list[str] | None" = None
+        self._dim_path = os.path.join(state_dir, "seeds_dim")
+        self._keys_path = os.path.join(state_dir, "seeds_keys")
+        is_df = isinstance(seeds, DataFrame)
+        use_dim = (force_dim is True or is_df
+                   or (force_dim is None and len(seeds) > SEED_DIM_THRESHOLD))
+        if force_dim is False and is_df:
+            seeds = [(r["url"], r["seed_rank"])
+                     for r in seeds.select("url", "seed_rank").collect()]
+            use_dim = False
+        if not use_dim:
+            self.seeds_list = sorted(seeds, key=lambda s: s[1])
+            self.urls = [U.canonical_url(u) for u, _ in self.seeds_list]
+            return
+        if resume and os.path.exists(self._dim_path):
+            return  # canonical dim already materialized by this run
+        raw = (seeds.select("url", "seed_rank") if is_df
+               else spark.createDataFrame(
+                   [(u, int(r)) for u, r in seeds], "url string, seed_rank int"))
+        from supacrawler_spark.functions import canon_info
+        dim = (raw.withColumn("_c", canon_info("url"))
+               .select(F.col("_c.url_canon").alias("url"),
+                       F.col("_c.host").alias("host"),
+                       F.col("_c.url_hash").alias("url_hash"),
+                       F.col("seed_rank").cast("int").alias("seed_rank")))
+        # duplicate-seed collapse (host/url_hash are functions of url,
+        # so min() over the group is both deterministic and exact)
+        dim = (dim.groupBy("url")
+               .agg(F.min("host").alias("host"),
+                    F.min("url_hash").alias("url_hash"),
+                    F.min("seed_rank").alias("seed_rank")))
+        _write(dim, self._dim_path)
+        _write(self.spark.read.schema(_SEED_DIM_SCHEMA)
+               .parquet(self._dim_path).select("url").distinct(),
+               self._keys_path)
+
+    def frontier(self) -> DataFrame:
+        if self.urls is not None:
+            return _seed_frontier(self.spark, self.seeds_list)
+        dim = self.spark.read.schema(_SEED_DIM_SCHEMA).parquet(self._dim_path)
+        return dim.select(
+            "url", "host", "url_hash",
+            F.lit(0).alias("depth"),
+            F.lit(-1).cast("long").alias("parent_ord"),
+            F.col("seed_rank").alias("link_pos"),
+            "seed_rank",
+            F.col("host").alias("seed_host"),
+            F.lit(0.0).alias("priority"),
+            F.lit(0).alias("attempt"))
+
+    def flag(self, df: DataFrame, out: str = "_seed") -> DataFrame:
+        """Add a boolean seed-membership column. Literal mode: an
+        IN-list predicate. Dim mode: broadcast left join on the
+        distinct-key table (flat per-row cost in seed count)."""
+        if self.urls is not None:
+            cond = F.col("url").isin(self.urls) if self.urls else F.lit(False)
+            return df.withColumn(out, cond)
+        keys = (self.spark.read.schema("url string").parquet(self._keys_path)
+                .withColumn(out, F.lit(True)))
+        return (df.join(F.broadcast(keys), "url", "left")
+                .withColumn(out, F.coalesce(F.col(out), F.lit(False))))
 
 
 def run_crawl(
@@ -216,6 +324,7 @@ def run_crawl(
     resume: bool = False,
     use_bloom: bool = True,
     bucket_known: "bool | None" = None,
+    seed_dim: "bool | None" = None,
     collect_lineage: bool = True,
     default_host_budget: int = 10,
     pages_prepared: bool = False,
@@ -226,8 +335,14 @@ def run_crawl(
     """Run a crawl over the corpus. See module docstring and oracle.py
     for the exact semantics contract.
 
-    ``seeds``: list of (url, seed_rank). ``pages_prepared``: pass True
-    when pages_df already has url_canon (e.g. from bucketize_pages).
+    ``seeds``: list of (url, seed_rank) OR a DataFrame with columns
+    (url, seed_rank) — the scale path for Common-Crawl-style seed
+    lists (the driver never materializes seed rows; see _SeedSet).
+    ``seed_dim``: None (default) auto-engages the seeds dim above
+    SEED_DIM_THRESHOLD or for DataFrame input; True forces it (tests);
+    False forces the literal path (collects a DataFrame input).
+    ``pages_prepared``: pass True when pages_df already has url_canon
+    (e.g. from bucketize_pages).
 
     ``scrape_cache``: a prior run's successful result rows (J3, the
     Redis scrape cache, scrape/service.go:583-614): cache-hit URLs
@@ -256,6 +371,12 @@ def run_crawl(
         state_dir = tempfile.mkdtemp(prefix="supacrawler_state_")
     os.makedirs(state_dir, exist_ok=True)
     manifest_path = os.path.join(state_dir, "manifest.jsonl")
+    if not resume and os.path.exists(manifest_path):
+        # a fresh run over a used state dir: clear it NOW, before the
+        # corpus/seeds materialize into it (clearing later would delete
+        # files this run just wrote and already handed to lazy readers)
+        shutil.rmtree(state_dir)
+        os.makedirs(state_dir)
 
     if pages_prepared:
         # caller already has a canonical-keyed (possibly bucketed) table
@@ -319,13 +440,54 @@ def run_crawl(
     # is a broadcastable dim by design, so this one-time driver action
     # is tiny at any scale.
     max_budget = default_host_budget
-    pol_arg = politeness_df
-    if politeness_df is not None:
+    # Per-host delays fold into the budget BEFORE the collapse below
+    # (VERDICT r3 #3): effective delay = greatest(politeness delay_ms,
+    # robots Crawl-delay), and B_eff(host) = min(max_parallel,
+    # ceil(wave_window_ms / delay)) — the batch determinization of
+    # colly's per-request delay (RandomDelay <=500ms,
+    # mapper/service.go:93,122) and RFC-9309 Crawl-delay (robotskit).
+    # ceil is computed in integer arithmetic ((W + d - 1) / d,
+    # truncating cast) and mirrored exactly by oracle.py. A host with
+    # delay > window still gets 1 slot per wave — delays slow a host,
+    # never starve it.
+    W = params.wave_window_ms
+    delay_dim = None
+    if robots_df is not None and "crawl_delay_ms" in robots_df.columns:
+        delay_dim = (robots_df.filter(F.col("crawl_delay_ms").isNotNull())
+                     .select("host", F.col("crawl_delay_ms").cast("int")
+                             .alias("crawl_delay_ms")))
+    has_pol_delay = (politeness_df is not None
+                     and "delay_ms" in politeness_df.columns)
+    pol_eff = politeness_df
+    if delay_dim is not None or has_pol_delay:
+        if politeness_df is None:
+            merged = delay_dim.select(
+                "host", F.lit(None).cast("int").alias("max_parallel"),
+                F.lit(None).cast("int").alias("delay_ms"),
+                "crawl_delay_ms")
+        else:
+            merged = politeness_df.select(
+                "host", "max_parallel",
+                (F.col("delay_ms").cast("int") if has_pol_delay
+                 else F.lit(None).cast("int")).alias("delay_ms"))
+            merged = (merged.withColumn("crawl_delay_ms",
+                                        F.lit(None).cast("int"))
+                      if delay_dim is None
+                      else merged.join(delay_dim, "host", "full_outer"))
+        eff_delay = F.greatest("delay_ms", "crawl_delay_ms")
+        b0 = F.coalesce(F.col("max_parallel"), F.lit(default_host_budget))
+        b_eff = F.when(
+            eff_delay > 0,
+            F.least(b0, ((F.lit(W) + eff_delay - 1) / eff_delay)
+                    .cast("int"))).otherwise(b0)
+        pol_eff = merged.select("host", b_eff.alias("max_parallel"))
+    pol_arg = pol_eff
+    if pol_eff is not None:
         # Small dims (the norm: one row per throttled host) collapse to
         # a driver dict -> literal MAP lookup in politeness_select: one
         # collect here instead of a broadcast-build job EVERY wave.
         # Large dims keep the broadcast-join path.
-        _rows = (politeness_df.select("host", "max_parallel")
+        _rows = (pol_eff.select("host", "max_parallel")
                  .limit(1025).collect())
         if len(_rows) <= 1024:
             pol_arg = {r["host"]: int(r["max_parallel"]) for r in _rows
@@ -333,7 +495,7 @@ def run_crawl(
             if pol_arg:
                 max_budget = max(max(pol_arg.values()), default_host_budget)
         else:
-            _mb = politeness_df.agg(F.max("max_parallel")).first()[0]
+            _mb = pol_eff.agg(F.max("max_parallel")).first()[0]
             if _mb is not None:
                 max_budget = max(int(_mb), default_host_budget)
 
@@ -342,6 +504,8 @@ def run_crawl(
     if resume and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             manifest = [json.loads(l) for l in f if l.strip()]
+    seedset = _SeedSet(spark, seeds, state_dir, resume=bool(manifest),
+                       force_dim=seed_dim)
     if manifest:
         last = manifest[-1]
         it0 = last["iter"] + 1
@@ -355,21 +519,16 @@ def run_crawl(
         prev_sched = last.get("scheduled")
         frontier = _read_frontier(
             spark, os.path.join(state_dir, "frontier",
-                                f"{last['iter']:05d}"),
-            [U.canonical_url(u) for u, _ in seeds])
+                                f"{last['iter']:05d}"), seedset)
         n_frontier = last["n_frontier_next"]
     else:
-        if resume is False and os.path.exists(manifest_path):
-            # a fresh run over a used state dir: clear it
-            shutil.rmtree(state_dir)
-            os.makedirs(state_dir)
         it0 = 0
         next_ord = 0
         successes = 0
         failures = 0
         limit_reached = False
         run_id = uuid.uuid4().hex[:12]
-        frontier = _seed_frontier(spark, seeds)
+        frontier = seedset.frontier()
         n_frontier = frontier.count()
         discovered_cnt = 0
         hosts_est = None
@@ -453,6 +612,16 @@ def run_crawl(
             return
         known_state["tbl"] = _known_write(src, known_state["gen"])
         known_state["appends"] = 0
+        # housekeeping: a prior run may have compacted to gen>0 before
+        # ending; engage rebuilds at gen 0, so any other known_<gen>
+        # directory left in state_dir is an orphan — remove it
+        # (correctness never depends on these: the rebuild re-derives
+        # the table from committed frontier files)
+        keep = f"known_{known_state['gen']}"
+        for d in os.listdir(state_dir):
+            if d.startswith("known_") and d != keep:
+                shutil.rmtree(os.path.join(state_dir, d),
+                              ignore_errors=True)
 
     def _known_append(df) -> None:
         (df.repartition(KNOWN_BUCKETS, "url")
@@ -503,14 +672,8 @@ def run_crawl(
             return spark.table(known_state["tbl"])
         return _known_files_df()
 
-    # `known` mirrors the mapper's `links` set, which never contains
-    # the seed (mapper/service.go:39, 146-152): a discovered link equal
-    # to a seed IS emitted and consumes discovery budget — so seeds
-    # must NOT be in the anti-join set. They are instead dropped from
-    # the next frontier post-cap (the crawler's processed map rejects
-    # them, crawl/service.go:525-527). Seeds are few: a driver-side
-    # literal list suffices at any scale.
-    seed_urls = [U.canonical_url(u) for u, _ in seeds]
+    # Seed-membership semantics (why seeds are excluded from the known
+    # anti-join but dropped from the next frontier) live on _SeedSet.
 
     # ---- wave loop ----------------------------------------------------------
     it = it0
@@ -783,14 +946,16 @@ def run_crawl(
                 retry_rows.select(*FRONTIER_SCHEMA.fieldNames())
                 .withColumn("is_new", F.lit(False)))
         fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
-        sched_cond = ~(F.col("is_new") & F.col("url").isin(seed_urls))
+        next_frontier = seedset.flag(next_frontier)
+        sched_cond = ~(F.col("is_new") & F.col("_seed"))
         obs_fr = Observation(f"fr_{run_id}_{it}")
         next_frontier = next_frontier.observe(
             obs_fr,
             F.sum(F.col("is_new").cast("long")).alias("new"),
             F.sum(sched_cond.cast("long")).alias("sched"),
             F.approx_count_distinct(
-                F.when(sched_cond, F.col("host"))).alias("hosts"))
+                F.when(sched_cond, F.col("host"))).alias("hosts")
+        ).drop("_seed")
         t_s = time.time()
         _write(next_frontier, fr_path)
         fr_m = obs_fr.get
@@ -816,7 +981,7 @@ def run_crawl(
             # looping to max_waves at fixed driver cost per iteration.
             _prune_uncommitted(state_dir, it - 1)
             break
-        frontier = _read_frontier(spark, fr_path, seed_urls)
+        frontier = _read_frontier(spark, fr_path, seedset)
         if not limit_reached:
             if bloom_built and n_new:
                 _bloom_add_async(raw.filter("is_new").select("url_hash"))

@@ -139,6 +139,10 @@ def robots_df_from_texts(df: DataFrame, agent: str = DEFAULT_AGENT,
     from pyspark.sql import functions as F
 
     rules = parse_robots_rules(df, agent, host_col, text_col)
+    # The host list comes from ALL rule rows (including crawl_delay_ms):
+    # a robots.txt whose matched group carries only a Crawl-delay
+    # directive still yields a dim row, keeping its delay enforceable.
+    hosts = rules.select("host").distinct()
     arr = (rules.filter(F.col("kind").isin("allow", "disallow"))
            .groupBy("host").pivot("kind", ["allow", "disallow"])
            .agg(F.transform(
@@ -148,7 +152,7 @@ def robots_df_from_texts(df: DataFrame, agent: str = DEFAULT_AGENT,
              .select("host", F.col("value").cast("int")
                      .alias("crawl_delay_ms")))
     empty = F.array().cast("array<string>")
-    return (arr.join(delay, "host", "left")
+    return (hosts.join(arr, "host", "left").join(delay, "host", "left")
             .select("host",
                     F.coalesce("allow", empty).alias("allow_prefixes"),
                     F.coalesce("disallow", empty)

@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions (VERDICT r3 #4): the properties
+BENCH.md argues from are pinned here so a regression fails CI, not a
+prose audit —
+
+- the bucketed known-state anti-join never Exchanges the known side;
+- fetch_join picks broadcast vs SHUFFLE_HASH per the sched_bound gate;
+- the fat html column is pruned from every post-extraction plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_aqe_no_autobroadcast(spark):
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_known_scan_has_no_exchange(spark, tmp_path,
+                                             no_aqe_no_autobroadcast):
+    """The known side of the seen anti-join reads bucket-aligned: the
+    candidates exchange into the table's partitioning; the known scan
+    itself is NEVER re-shuffled (the r2 scale-killer fix)."""
+    from supacrawler_spark.plans.crawl import KNOWN_BUCKETS
+
+    known = spark.range(5000).selectExpr(
+        "concat('https://k', CAST(id AS STRING), '.org/p') AS url",
+        "xxhash64(CAST(id AS STRING)) AS url_hash")
+    tbl = "plan_test_known"
+    (known.repartition(KNOWN_BUCKETS, "url")
+     .write.mode("overwrite").format("parquet")
+     .bucketBy(KNOWN_BUCKETS, "url")
+     .option("path", str(tmp_path / "known")).saveAsTable(tbl))
+    try:
+        cand = spark.range(300).selectExpr(
+            "concat('https://k', CAST(id * 7 AS STRING), '.org/p') AS url")
+        joined = cand.join(spark.table(tbl).select("url"),
+                           "url", "left_anti")
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan, plan
+        # exactly ONE exchange: the candidate side; the known scan is
+        # consumed with its bucket partitioning
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_fetch_join_strategy_gate(spark, no_aqe_no_autobroadcast):
+    """small_wave=True -> the slim wave is broadcast (and the corpus is
+    scanned, not shuffled); small_wave=False -> ShuffledHashJoin, never
+    a sort of the corpus."""
+    from supacrawler_spark.operators.fetch import fetch_join
+    from supacrawler_spark.sources import gen_pages_df, prepare_pages
+
+    pages_df, _ = gen_pages_df(spark, "/root/testdata/sf0.001", limit=60)
+    prep = prepare_pages(pages_df)
+    sched = prep.limit(10).select(
+        F.col("url_canon").alias("url"), F.lit(0).alias("attempt"))
+
+    small = _plan(fetch_join(sched, prep, small_wave=True))
+    assert "BroadcastHashJoin" in small, small
+    assert "SortMergeJoin" not in small, small
+
+    large = _plan(fetch_join(sched, prep, small_wave=False))
+    assert "ShuffledHashJoin" in large, large
+    assert "SortMergeJoin" not in large, large
+    assert "BroadcastHashJoin" not in large, large
+
+
+def test_html_pruned_after_extraction(spark, tmp_path):
+    """Discovery (expand_candidates over committed result files) must
+    not read the fat html column: column pruning reaches the parquet
+    scan (ReadSchema excludes html/markdown/text)."""
+    from supacrawler_spark.operators.fetch import expand_candidates
+    from supacrawler_spark.schemas import RESULT_SCHEMA
+
+    res_path = str(tmp_path / "results")
+    spark.createDataFrame([], RESULT_SCHEMA).write.parquet(res_path)
+    # FileScan metadata is truncated to maxMetadataStringLength by
+    # default — raise it (before the plan is built) so the assertion
+    # sees the full ReadSchema
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        res_df = spark.read.schema(RESULT_SCHEMA).parquet(res_path)
+        cand = expand_candidates(res_df, False, None, None, max_depth=3)
+        plan = _plan(cand)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    scan_line = plan[plan.index("ReadSchema"):].splitlines()[0]
+    for fat in ("html", "markdown", "text", "links", "metadata"):
+        assert f"{fat}:" not in scan_line, scan_line
+    assert "discovery:" in scan_line, scan_line

@@ -56,14 +56,18 @@ def _random_corpus(seed: int, n: int = 60):
     return pages, urls
 
 
+def _pages_df(spark, pages, urls):
+    rows = [(u, None, h.encode(), "", "en")
+            for u, h in ((u, pages[u]) for u in urls)]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string,"
+        " lang string")
+
+
 @pytest.mark.parametrize("seed", [7, 23])
 def test_random_graph_engine_matches_oracle(spark, seed):
     pages, urls = _random_corpus(seed)
-    rows = [(u, None, h.encode(), "", "en")
-            for u, h in ((u, pages[u]) for u in urls)]
-    pages_df = spark.createDataFrame(
-        rows, "url string, warc_ts timestamp, html binary, text string,"
-        " lang string")
+    pages_df = _pages_df(spark, pages, urls)
     seeds = [(urls[0], 0), (urls[1], 1)]
     params = CrawlParams(depth=3, link_limit=25)
     orc = crawl_oracle(pages, seeds, params)
@@ -75,3 +79,37 @@ def test_random_graph_engine_matches_oracle(spark, seed):
     # invariants (SURVEY §5.2.3)
     assert len(orc.seen) == len(orc.trace)          # no url crawled twice
     assert orc.stats["successful_pages"] <= 25      # |results| <= limit
+
+
+@pytest.mark.parametrize("seed,dim", [(11, False), (31, False), (47, True)])
+def test_multi_seed_random_graph(spark, seed, dim):
+    """Multi-seed contention hardening (VERDICT r3 #6): >=5 seeds over
+    a shared random graph — seeds land on shared subtrees (J5 min-K
+    contention), one seed is duplicated, and seeds are routinely also
+    discovered links (the known-set exclusion path). Engine == oracle,
+    in both seed-path modes."""
+    import random
+    rnd = random.Random(seed * 991)
+    pages, urls = _random_corpus(seed, n=80)
+    picks = rnd.sample(range(len(urls)), 5)
+    seeds = [(urls[p], r) for r, p in enumerate(picks)]
+    params = CrawlParams(depth=3, link_limit=30)
+    # force a seed==discovered-link collision BY CONSTRUCTION: the 6th
+    # seed is a url the 5-seed crawl discovers (first depth>0 trace
+    # row) — in the 6-seed crawl its parent page still emits it (it
+    # consumes discovery budget) but the processed map rejects it from
+    # the next frontier (the seed/known-set exclusion path)
+    pre = crawl_oracle(pages, seeds, params)
+    discovered = [t[3] for t in pre.trace if t[2] > 0]
+    assert discovered, "fixture must discover at least one link"
+    seeds.append((discovered[0], 5))
+    seeds.append((urls[picks[0]], 9))          # duplicate seed
+    seeds.append((urls[picks[1]] + "#f", 11))  # dup via canonicalization
+    orc = crawl_oracle(pages, seeds, params)
+    run = run_crawl(spark, _pages_df(spark, pages, urls), seeds, params,
+                    seed_dim=dim)
+    etrace = [(r.crawl_ord, r.iter, r.depth, r.url, r.status_code)
+              for r in run.trace.collect()]
+    assert etrace == orc.trace
+    assert {r.url for r in run.seen.collect()} == orc.seen
+    assert len(orc.seen) == len(orc.trace)
