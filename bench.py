@@ -103,7 +103,11 @@ def main() -> int:
 
     # ---- headline: the crawl ------------------------------------------------
     seeds = gen_seeds(n_pages, k=n_seeds)
-    pol = gen_politeness_df(spark, max_parallel=budget)
+    # delay_ms=None: the bench budget IS the rate x wave-duration
+    # determinization of (10 parallel, 500 ms delay) — carrying the raw
+    # delay in the dim as well would double-count it now that
+    # crawl_delay folds into B_eff (params.wave_window_ms).
+    pol = gen_politeness_df(spark, max_parallel=budget, delay_ms=None)
 
     # Steady-state warm-up, excluded from the timed region: a throwaway
     # depth-1 crawl through the same code paths compiles the wave plans

@@ -358,10 +358,13 @@ def gen_robots_df(spark, disallow_sections=("product",)):
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
 
 
-def gen_politeness_df(spark, max_parallel: int = 10, delay_ms: int = 500,
+def gen_politeness_df(spark, max_parallel: int = 10,
+                      delay_ms: "int | None" = 500,
                       hot_budget: "int | None" = None):
     """Per-host budgets; defaults = reference constants (colly
-    LimitRule Parallelism=10, RandomDelay 500ms, mapper/service.go:93)."""
+    LimitRule Parallelism=10, RandomDelay 500ms, mapper/service.go:93).
+    Pass delay_ms=None when the budget already subsumes the delay
+    (bench wide-wave config) — delays fold into B_eff since round 4."""
     from supacrawler_spark.schemas import POLITENESS_SCHEMA
     rows = []
     for hid in range(n_hosts()):
