@@ -263,8 +263,12 @@ class _SeedSet:
             self.seeds_list = sorted(seeds, key=lambda s: s[1])
             self.urls = [U.canonical_url(u) for u, _ in self.seeds_list]
             return
-        if resume and os.path.exists(self._dim_path):
-            return  # canonical dim already materialized by this run
+        # resume reuses the persisted dim only when BOTH files landed —
+        # a crash between the dim and keys writes must not leave a
+        # half-materialized seed set
+        if (resume and os.path.exists(self._dim_path)
+                and os.path.exists(self._keys_path)):
+            return
         raw = (seeds.select("url", "seed_rank") if is_df
                else spark.createDataFrame(
                    [(u, int(r)) for u, r in seeds], "url string, seed_rank int"))

@@ -65,6 +65,28 @@ def test_seed_dim_resume(spark, web, tmp_path):
     assert _trace(resumed) == _trace(oneshot)
 
 
+def test_seed_dim_resume_half_materialized(spark, web, tmp_path):
+    """A crash between the seeds_dim and seeds_keys writes must not be
+    trusted on resume: with seeds_keys missing, the resumed run rebuilds
+    both files and still equals the one-shot dim run."""
+    import shutil
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    sd = str(tmp_path / "state")
+    run_crawl(spark, pages_df, seeds,
+              CrawlParams(depth=2, link_limit=30, max_waves=1),
+              state_dir=sd, seed_dim=True)
+    shutil.rmtree(str(tmp_path / "state" / "seeds_keys"))
+    resumed = run_crawl(spark, pages_df, seeds,
+                        CrawlParams(depth=2, link_limit=30),
+                        state_dir=sd, resume=True, seed_dim=True)
+    oneshot = run_crawl(spark, pages_df, seeds,
+                        CrawlParams(depth=2, link_limit=30), seed_dim=True)
+    assert _trace(resumed) == _trace(oneshot)
+    import os
+    assert os.path.exists(str(tmp_path / "state" / "seeds_keys"))
+
+
 def test_duplicate_seeds_collapse(spark, web):
     """Duplicate seeds (same canonical url, different rank) collapse to
     min seed_rank in both modes and in the oracle — a url is crawled at
