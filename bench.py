@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -201,6 +202,26 @@ def main() -> int:
         "crawl_runs_sec": crawl_secs,
     }
     print(json.dumps(out), flush=True)
+
+    # State-dir hygiene: each run writes ~1.3 GB of crawl state
+    # (frontier files + bucketed known table) under `work`. Left in
+    # place, campaign runs fill the disk — measured on 2026-08-17:
+    # 59 accumulated dirs took / to 91% full and write throttling
+    # degraded local[8] legs monotonically 301→318→374 s (the short
+    # leg pays ~3x the relative cost of the long leg, silently
+    # collapsing the scaling ratio). Keep only the per-wave manifests
+    # (the decomposition data) unless BENCH_KEEP_STATE=1.
+    if os.environ.get("BENCH_KEEP_STATE", "0") != "1":
+        keep = os.path.join("/tmp", "bench_manifests")
+        os.makedirs(keep, exist_ok=True)
+        tag = os.path.basename(work)
+        for root, _dirs, files in os.walk(work):
+            for fn in files:
+                if fn == "manifest.jsonl":
+                    rel = os.path.relpath(root, work).replace(os.sep, "_")
+                    shutil.copyfile(os.path.join(root, fn),
+                                    os.path.join(keep, f"{tag}_{rel}.jsonl"))
+        shutil.rmtree(work, ignore_errors=True)
     return 0
 
 
