@@ -644,7 +644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": textops.minhash_lsh_pairs,
         "ngram_jaccard": textops.ngram_jaccard_pairs,
         "lsh_verified_pairs": textops.lsh_verified_pairs,
+        "dup_clusters": textops.dup_clusters,
+        "dedup_keep_best": textops.dedup_keep_best,
         "simhash": textops.simhash,
+        "repetition_stats": textops.repetition_stats,
+        "decontam_overlap": textops.decontam_overlap,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -700,6 +704,57 @@ def _minhash_sql_core() -> str:
         "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
         "WHERE len(string_split(text,' ')) >= 3))"
     )
+
+
+def _verified_pairs_sql_cte() -> str:
+    """The full lsh_verified_pairs pipeline as a WITH chain ending in
+    CTE ``vp(doc_a, doc_b, n_inter, jaccard)`` so downstream oracles
+    (dup_clusters, dedup_keep_best) can extend it."""
+    mh = ", ".join(
+        f"min(md5('{k}' || '|' || shingle)) AS mh{k}"
+        for k in range(textops.MINHASH_PERMS))
+    rows_per_band = textops.MINHASH_PERMS // textops.LSH_BANDS
+    return (
+        _minhash_sql_core() + ", "
+        f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
+        "bands AS (" + " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band_id, md5({cat}) AS bh FROM sig"
+            .format(b=b, cat=" || '|' || ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)))
+            for b in range(textops.LSH_BANDS)) + "), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band_id = b.band_id "
+        "AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+        "cd AS (SELECT doc_a AS doc_id FROM cand "
+        "UNION SELECT doc_b FROM cand), "
+        "shc AS (SELECT sh.doc_id, sh.shingle FROM sh "
+        "JOIN cd USING (doc_id)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shc "
+        "GROUP BY doc_id), "
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter "
+        "FROM cand c JOIN shc a ON a.doc_id = c.doc_a "
+        "JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+        "GROUP BY 1, 2), "
+        "vp AS (SELECT doc_a, doc_b, n_inter, "
+        "n_inter / (sa.n + sb.n - n_inter) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)")
+
+
+def _dup_clusters_sql_cte() -> str:
+    """_verified_pairs_sql_cte() extended with min-label transitive
+    closure (recursive CTE; UNION set-semantics guarantees halting)
+    ending in CTE ``lab(id, cluster_id)`` — one row per clustered
+    doc, cluster_id = min doc_id in the component."""
+    return (
+        _verified_pairs_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM vp), "
+        "cc AS (SELECT src AS id, src AS lbl FROM edges "
+        "UNION SELECT e.src AS id, cc.lbl FROM edges e "
+        "JOIN cc ON cc.id = e.dst), "
+        "lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id)")
 
 
 def _lang_scores_sql() -> str:
@@ -1017,32 +1072,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM bands a JOIN bands b ON a.band_id = b.band_id "
             "AND a.bh = b.bh AND a.doc_id < b.doc_id"),
         "lsh_verified_pairs": (
-            _minhash_sql_core() + ", "
-            f"sig AS (SELECT doc_id, {mh} FROM sh GROUP BY doc_id), "
-            "bands AS (" + " UNION ALL ".join(
-                "SELECT doc_id, {b} AS band_id, md5({cat}) AS bh FROM sig"
-                .format(b=b, cat=" || '|' || ".join(
-                    f"mh{b * rows_per_band + r}"
-                    for r in range(rows_per_band)))
-                for b in range(textops.LSH_BANDS)) + "), "
-            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-            "FROM bands a JOIN bands b ON a.band_id = b.band_id "
-            "AND a.bh = b.bh AND a.doc_id < b.doc_id), "
-            "cd AS (SELECT doc_a AS doc_id FROM cand "
-            "UNION SELECT doc_b FROM cand), "
-            "shc AS (SELECT sh.doc_id, sh.shingle FROM sh "
-            "JOIN cd USING (doc_id)), "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM shc "
-            "GROUP BY doc_id), "
-            "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter "
-            "FROM cand c JOIN shc a ON a.doc_id = c.doc_a "
-            "JOIN shc b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
-            "GROUP BY 1, 2) "
-            "SELECT doc_a, doc_b, n_inter, "
-            "n_inter / (sa.n + sb.n - n_inter) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
-            "JOIN sizes sb ON sb.doc_id = doc_b "
-            "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
+            _verified_pairs_sql_cte() +
+            " SELECT doc_a, doc_b, n_inter, jaccard FROM vp"),
+        "dup_clusters": (
+            _dup_clusters_sql_cte() +
+            " SELECT id AS doc_id, cluster_id, "
+            "count(*) OVER (PARTITION BY cluster_id) AS cluster_size "
+            "FROM lab"),
+        "repetition_stats": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, len(w) AS n_tokens, unnest(w) AS tok "
+            "FROM d), "
+            "tc AS (SELECT doc_id, n_tokens, tok, count(*) AS c FROM toks "
+            "GROUP BY 1, 2, 3), "
+            "ts AS (SELECT doc_id, n_tokens, count(*) AS n_distinct, "
+            "max(c) AS top_c FROM tc GROUP BY 1, 2), "
+            "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), "
+            "i -> w[i] || ' ' || w[i+1])) AS b FROM d WHERE len(w) >= 2), "
+            "bs AS (SELECT doc_id, max(c) AS top_bg_c FROM "
+            "(SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2) "
+            "GROUP BY 1) "
+            "SELECT ts.doc_id, CAST(n_tokens AS INT) AS n_tokens, "
+            "n_distinct / n_tokens AS distinct_token_ratio, "
+            "top_c / n_tokens AS top_token_frac, "
+            "top_bg_c / (n_tokens - 1) AS top_bigram_frac "
+            "FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id"),
+        "decontam_overlap": (
+            "WITH w4 AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents WHERE len(string_split(text, ' ')) >= 4), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-2), "
+            "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]"
+            ")) AS gram FROM w4), "
+            "gh AS (SELECT DISTINCT doc_id, md5(gram) AS gh FROM g), "
+            "bench AS (SELECT DISTINCT gh, doc_id AS bench_doc_id FROM gh "
+            "WHERE doc_id % 97 = 0), "
+            "corp AS (SELECT doc_id, gh FROM gh WHERE doc_id % 97 <> 0) "
+            "SELECT c.doc_id, count(DISTINCT c.gh) AS n_hits, "
+            "count(DISTINCT b.bench_doc_id) AS n_bench_docs "
+            "FROM corp c JOIN bench b USING (gh) GROUP BY 1"),
+        "dedup_keep_best": (
+            _dup_clusters_sql_cte() +
+            ", tc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) "
+            "AS INT) AS n_tokens FROM documents), "
+            "ranked AS (SELECT lab.cluster_id, lab.id AS doc_id, "
+            "tc.n_tokens, "
+            "row_number() OVER (PARTITION BY lab.cluster_id "
+            "ORDER BY tc.n_tokens DESC, lab.id ASC) AS rn, "
+            "count(*) OVER (PARTITION BY lab.cluster_id) AS cluster_size "
+            "FROM lab JOIN tc ON tc.doc_id = lab.id) "
+            "SELECT cluster_id, doc_id AS keep_doc_id, cluster_size, "
+            "n_tokens FROM ranked WHERE rn = 1"),
         "parse_prep": (
             "WITH p AS (SELECT doc_id % 50 AS job_id, doc_id, "
             "CASE WHEN length(r) > 15000 THEN substr(r, 1, 15000) || "

@@ -279,3 +279,180 @@ def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
                       F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else (fp + term)
     return v.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Undirected edge list ``(src, dst)`` -> ``(id, component)`` where
+    ``component`` is the min node id in the node's connected component.
+
+    Min-label propagation: every round each node takes the min of its
+    own label and its neighbours' labels; rounds needed = graph
+    diameter. Near-dup clusters are quasi-cliques (every member shares
+    LSH bands with most others), so diameter is 2-3 and the loop exits
+    after the first round that changes nothing.
+
+    100-TB shape per round: one equi-join of the (cached, symmetrized)
+    edge list against the label table on the neighbour key, then a
+    map-side-combinable ``min`` groupBy back to one row per node —
+    two hash shuffles on uniform keys, nothing broadcast-sized grows
+    with corpus size. ``localCheckpoint`` truncates lineage so the
+    plan does not grow with rounds (the classic iterative-DataFrame
+    trap). For adversarial long-chain graphs swap the body for
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", O(log^2 n) rounds, same per-round cost);
+    dedup clusters never need it.
+    """
+    sym = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")).union(
+        edges.select(F.col("dst").cast("long").alias("src"),
+                     F.col("src").cast("long").alias("dst"))).persist()
+    labels = (sym.groupBy(F.col("src").alias("id"))
+              .agg(F.min("dst").alias("nbr"))
+              .select("id", F.least("id", "nbr").alias("component"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (sym.join(labels.select(F.col("id").alias("dst"),
+                                       F.col("component").alias("c")), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("c").alias("nbr_min")))
+        nxt = (labels.join(prop, "id", "left")
+               .select("id",
+                       F.col("component").alias("old"),
+                       F.least("component",
+                               F.coalesce("nbr_min", "component"))
+                       .alias("component"))
+               .localCheckpoint())
+        changed = nxt.filter(F.col("component") < F.col("old")).count()
+        labels = nxt.select("id", "component")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dup_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """End of the near-dup pipeline: Jaccard-verified LSH pairs
+    (lsh_verified_pairs) as edges -> connected components -> one row
+    per clustered doc ``(doc_id, cluster_id, cluster_size)`` with
+    ``cluster_id`` = min doc_id in the cluster. Docs in no pair are
+    not duplicates and are omitted (they would be size-1 clusters of
+    themselves). The size is a window count over cluster_id — the
+    same single hash shuffle a groupBy+join would cost."""
+    pairs = lsh_verified_pairs(spark, sf_dir, threshold)
+    # localCheckpoint: the symmetrizing union in connected_components
+    # reads its input twice — checkpoint so the LSH pipeline runs once
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")).localCheckpoint()
+    cc = connected_components(edges)
+    w = Window.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"))
+
+
+def dedup_keep_best(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """Canonical-document selection: for each near-dup cluster keep
+    the doc with the most whitespace tokens (ties -> min doc_id).
+    Integer ranking keys keep the choice bit-identical across engines
+    (float quality scores tie unpredictably). One extra shuffle over
+    dup_clusters: the row_number window on cluster_id; the token
+    counts join map-side onto the (tiny) clustered-doc set via a
+    broadcast-bounded semi-filtered read."""
+    clusters = dup_clusters(spark, sf_dir, threshold)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc()))
+    ranked = (clusters.join(toks, "doc_id")
+              .withColumn("rn", F.row_number().over(w)))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("keep_doc_id"),
+                    "cluster_size", "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Quality filters (repetition) and benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition signals per doc: distinct-token ratio,
+    fraction of tokens taken by the most frequent token, and fraction
+    taken by the most frequent bigram (null when the doc has a single
+    token). Training pipelines threshold these to drop boilerplate and
+    degenerate repetition.
+
+    Scale shape: two explode+groupBy chains (tokens, bigrams), both
+    with map-side partial aggregation, re-joined on doc_id — the
+    second groupBy and the join share one hash shuffle on doc_id.
+    Ratios divide exact integer counts, so IEEE-754 division makes
+    them bit-identical across engines."""
+    w = F.split("text", " ")
+    d = _docs(spark, sf_dir).select("doc_id", w.alias("w"))
+    toks = d.select("doc_id", F.size("w").alias("n_tokens"),
+                    F.explode("w").alias("tok"))
+    tok_stats = (toks.groupBy("doc_id", "n_tokens", "tok")
+                 .agg(F.count("*").alias("c"))
+                 .groupBy("doc_id", "n_tokens")
+                 .agg(F.count("*").alias("n_distinct"),
+                      F.max("c").alias("top_c")))
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+        "(a, b) -> concat(a, ' ', b))")
+    bg_stats = (d.filter(F.size("w") >= 2)
+                .select("doc_id", F.explode(bigrams).alias("bg"))
+                .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+                .groupBy("doc_id").agg(F.max("c").alias("top_bg_c")))
+    return (tok_stats.join(bg_stats, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                (F.col("n_distinct") / F.col("n_tokens"))
+                .alias("distinct_token_ratio"),
+                (F.col("top_c") / F.col("n_tokens"))
+                .alias("top_token_frac"),
+                (F.col("top_bg_c") / (F.col("n_tokens") - 1))
+                .alias("top_bigram_frac")))
+
+
+def _ngrams(docs, n: int):
+    """Word n-gram explode, generic-n variant of shingles()."""
+    w = F.split("text", " ")
+    docs = docs.filter(F.size(F.split("text", " ")) >= n)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + k) for k in range(n)]))
+    return docs.select("doc_id", F.explode(gram).alias("gram"))
+
+
+def decontam_overlap(spark, sf_dir, n: int = 4,
+                     bench_mod: int = 97) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with a held-out benchmark set (the standard 13-gram-overlap
+    check of LLM pipelines, n=4 here because the synthetic docs are
+    short). The benchmark stands in deterministically as the docs with
+    doc_id % bench_mod == 0. Returns one row per contaminated doc:
+    (doc_id, n_hits = distinct shared n-grams, n_bench_docs = distinct
+    benchmark docs hit).
+
+    Scale shape: a real benchmark is megabytes against a 100-TB
+    corpus, so its distinct n-gram set broadcasts and the check is a
+    map-side broadcast join on the gram — the corpus never shuffles.
+    Grams are md5-hashed so the broadcast table carries 32-byte keys,
+    not raw text."""
+    docs = _docs(spark, sf_dir)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = (_ngrams(docs.filter(is_bench), n)
+             .select(F.md5("gram").alias("gh"),
+                     F.col("doc_id").alias("bench_doc_id"))
+             .distinct())
+    corpus = (_ngrams(docs.filter(~is_bench), n)
+              .select("doc_id", F.md5("gram").alias("gh"))
+              .distinct())
+    return (corpus.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gh").alias("n_hits"),
+                 F.countDistinct("bench_doc_id").alias("n_bench_docs")))
