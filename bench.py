@@ -184,6 +184,8 @@ def main() -> int:
         bench_q("minhash_lsh_pairs", textops.minhash_lsh_pairs)
         bench_q("simhash", textops.simhash)
         bench_q("quality_score", textops.quality_score)
+        bench_q("dup_clusters", textops.dup_clusters)
+        bench_q("decontam_overlap", textops.decontam_overlap)
         bench_q("cosine_topk", simsearch.cosine_topk)
 
     total = round(sum(timings.values()) - timings["gen_pages"]

@@ -150,3 +150,17 @@ def test_decontam_overlap_vs_python(spark):
            for r in decontam_overlap(spark, SF_DIR).collect()}
     assert got == want
     assert len(got) > 0  # the fixture corpus must exercise the path
+
+
+def test_connected_components_random_graphs(spark):
+    """Property: on random graphs (including multi-component, dup
+    edges, self-loops), the iterative propagation equals the
+    driver-side closure."""
+    import random
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        got = _cc(spark, pairs)
+        assert got == _py_components(pairs), (trial, pairs)

@@ -100,3 +100,14 @@ def test_html_pruned_after_extraction(spark, tmp_path):
     for fat in ("html", "markdown", "text", "links", "metadata"):
         assert f"{fat}:" not in scan_line, scan_line
     assert "discovery:" in scan_line, scan_line
+
+
+def test_decontam_overlap_broadcasts_benchmark(spark):
+    """The benchmark gram set is broadcast; the corpus side of
+    decontam_overlap must join map-side with no shuffle of the corpus
+    grams before the join."""
+    from supacrawler_spark.textops import decontam_overlap
+
+    plan = _plan(decontam_overlap(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
