@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from supacrawler_spark import parseops, simsearch, textops  # noqa: E402
+from supacrawler_spark import graph, parseops, simsearch, textops  # noqa: E402
 from supacrawler_spark.functions import (  # noqa: E402
     canon_info,
     domain_scope_udf,
@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": textops.simhash,
         "repetition_stats": textops.repetition_stats,
         "decontam_overlap": textops.decontam_overlap,
+        # host link graph
+        "host_link_edges": graph.host_link_edges,
+        "pagerank_hosts": graph.pagerank_hosts,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -901,6 +904,38 @@ def _lsh_bucket_sql() -> str:
     return f"SELECT vec_id, {bucket} AS bucket FROM embeddings"
 
 
+_HOST_EDGES_SQL = (
+    "WITH ev AS (SELECT 'h' || CAST(user_id % 32 AS VARCHAR) AS src, "
+    "'h' || CAST(event_id % 32 AS VARCHAR) AS dst FROM events), "
+    "edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS weight "
+    "FROM ev WHERE src <> dst GROUP BY 1, 2) ")
+
+
+def _pagerank_sql(iters: int = graph.PR_ITERS) -> str:
+    """Unrolled integer fixed-point power iteration — `//` is DuckDB
+    BIGINT floor division, identical to Spark's DIV on the positive
+    operands used here, so every rank is bit-identical."""
+    sql = (_HOST_EDGES_SQL +
+           ", outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out "
+           "FROM edges GROUP BY 1), "
+           "nodes AS (SELECT src AS host FROM edges "
+           "UNION SELECT dst FROM edges), "
+           f"r0 AS (SELECT host, CAST({graph.PR_SCALE} AS BIGINT) AS pr "
+           "FROM nodes)")
+    for k in range(1, iters + 1):
+        sql += (
+            f", r{k} AS (SELECT n.host, CAST({graph.PR_BASE} "
+            "+ COALESCE(s.in_sum, 0) AS BIGINT) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS host, CAST(sum("
+            f"(r.pr * {graph.PR_DAMP_NUM} * e.weight) // "
+            f"({graph.PR_DAMP_DEN} * o.w_out)) AS BIGINT) AS in_sum "
+            "FROM edges e JOIN outw o ON o.src = e.src "
+            f"JOIN r{k - 1} r ON r.host = e.src "
+            "GROUP BY 1) s ON s.host = n.host)")
+    return sql + f" SELECT host, pr AS pagerank_fp FROM r{iters}"
+
+
 def oracle_sql() -> dict[str, str]:
     mh = ", ".join(
         f"min(md5('{k}' || '|' || shingle)) AS mh{k}"
@@ -950,6 +985,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'h' || CAST(user_id % 32 AS VARCHAR) AS host, "
             "count(*) AS n_events, min(value) AS min_value, "
             "max(value) AS max_value FROM events GROUP BY 1"),
+        "host_link_edges": _HOST_EDGES_SQL + "SELECT * FROM edges",
+        "pagerank_hosts": _pagerank_sql(),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "

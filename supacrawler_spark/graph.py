@@ -1,0 +1,106 @@
+"""Host-level link-graph analytics over the crawl's discovery output.
+
+A web-scale crawler's discovered-links table induces a host→host graph
+(who links to whom, how often); training pipelines rank hosts on it to
+prioritize recrawl and to weight corpus quality (the Common-Crawl-rank
+/ harmonic-centrality idea). The reference keeps only per-host counters
+(internal/core/crawl/service.go crawl statistics); the graph rollup and
+PageRank are the scale-path generalization of those counters.
+
+Both operators are pure DataFrame builders (spark, sf_dir) -> DataFrame
+with exact DuckDB oracle twins. Determinism across engines: PageRank is
+computed entirely in BIGINT fixed-point (SCALE=1e6, damping 85/100,
+truncating integer division) — integer sums are order-independent, so
+Spark and DuckDB agree bit-for-bit where float power iteration would
+hash-mismatch on reduction order.
+
+The driver-visible graph is derived deterministically from the `events`
+table (src host = user_id mod 32, dst host = event_id mod 32 — the same
+synthetic-host convention q_host_counts uses); in the engine the same
+operators run over the crawl's (page_host, link_host) discovery pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000        # fixed-point 1.0
+PR_DAMP_NUM = 85            # damping 0.85 as a ratio of integers
+PR_DAMP_DEN = 100
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # 150000
+PR_ITERS = 3
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def host_link_edges(spark, sf_dir) -> DataFrame:
+    """Host→host edge rollup: (src, dst, weight) with self-loops
+    dropped (a host linking to itself transfers no rank).
+
+    100-TB shape: one hash shuffle on the (src, dst) pair with
+    map-side partial counts — discovered links collapse to at most
+    |hosts|² slim rows (in practice ~50 edges/host), so the edge
+    table is ~10⁹ rows for 10⁸ hosts where the link table is 10¹².
+    """
+    ev = _events(spark, sf_dir)
+    src = F.concat(F.lit("h"), (F.col("user_id") % 32).cast("string"))
+    dst = F.concat(F.lit("h"), (F.col("event_id") % 32).cast("string"))
+    return (ev.select(src.alias("src"), dst.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("weight")))
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Weighted PageRank over ``(src, dst, weight)``, ``iters`` fixed
+    power iterations in BIGINT fixed-point: rank₀ = SCALE for every
+    node; each round a node sends ``(rank·85·w) DIV (100·w_out)``
+    along each out-edge and receives ``150000 + Σ incoming``. Dangling
+    nodes keep receiving the base term but their own mass is dropped
+    (the standard no-redistribution simplification, mirrored in the
+    oracle). Returns (host, pagerank_fp) — fixed-point, SCALE = 1.0.
+
+    100-TB shape per iteration: the rank table is one slim
+    (host, long) row per node; edges (pre-joined once with their
+    source's total out-weight and persisted) equi-join ranks on src —
+    a co-partitionable hash join on a uniform key — then a
+    map-side-combinable sum groupBy on dst. Two hash shuffles per
+    round, nothing broadcast-sized grows with the corpus;
+    ``localCheckpoint`` truncates lineage so the plan stays flat in
+    ``iters`` (same discipline as textops.connected_components). On a
+    real cluster, repartition edges by src once and every iteration's
+    join reuses that exchange.
+    """
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    e = edges.join(outw, "src").persist()
+    nodes = (e.select(F.col("src").alias("host"))
+             .union(e.select(F.col("dst").alias("host")))
+             .distinct().persist())
+    ranks = nodes.select(
+        "host", F.lit(PR_SCALE).cast("long").alias("rank"))
+    contrib = F.expr(
+        f"(rank * {PR_DAMP_NUM} * weight) DIV ({PR_DAMP_DEN} * w_out)")
+    for _ in range(iters):
+        incoming = (e.join(ranks.withColumnRenamed("host", "src"), "src")
+                    .select(F.col("dst").alias("host"),
+                            contrib.alias("c"))
+                    .groupBy("host")
+                    .agg(F.sum("c").alias("in_sum")))
+        ranks = (nodes.join(incoming, "host", "left")
+                 .select("host",
+                         (F.lit(PR_BASE).cast("long")
+                          + F.coalesce("in_sum", F.lit(0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    e.unpersist()
+    nodes.unpersist()
+    return ranks.select("host", F.col("rank").alias("pagerank_fp"))
+
+
+def pagerank_hosts(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
+    """Driver-contract entry: PageRank over the deterministic host
+    graph (see module docstring)."""
+    return pagerank(host_link_edges(spark, sf_dir), iters)
