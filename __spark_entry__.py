@@ -649,9 +649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": textops.simhash,
         "repetition_stats": textops.repetition_stats,
         "decontam_overlap": textops.decontam_overlap,
+        "pii_redact": textops.pii_redact,
+        "paragraph_dedup": textops.paragraph_dedup,
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
+        "host_degree_stats": graph.host_degree_stats,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -987,6 +990,53 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value FROM events GROUP BY 1"),
         "host_link_edges": _HOST_EDGES_SQL + "SELECT * FROM edges",
         "pagerank_hosts": _pagerank_sql(),
+        "host_degree_stats": (
+            _HOST_EDGES_SQL +
+            ", o AS (SELECT src AS host, count(*) AS out_degree, "
+            "CAST(sum(weight) AS BIGINT) AS out_weight "
+            "FROM edges GROUP BY 1), "
+            "i AS (SELECT dst AS host, count(*) AS in_degree, "
+            "CAST(sum(weight) AS BIGINT) AS in_weight "
+            "FROM edges GROUP BY 1) "
+            "SELECT COALESCE(o.host, i.host) AS host, "
+            "COALESCE(out_degree, 0) AS out_degree, "
+            "COALESCE(out_weight, 0) AS out_weight, "
+            "COALESCE(in_degree, 0) AS in_degree, "
+            "COALESCE(in_weight, 0) AS in_weight "
+            "FROM o FULL OUTER JOIN i ON o.host = i.host"),
+        "pii_redact": (
+            "WITH d AS (SELECT doc_id, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.com ip 10.' || "
+            "CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+            "CAST(doc_id % 250 AS VARCHAR) || ' tel +1-555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text "
+            "FROM documents), "
+            "e AS (SELECT doc_id, len(regexp_extract_all(text, "
+            f"'{textops.PII_EMAIL_RE}')) AS n_emails, "
+            f"regexp_replace(text, '{textops.PII_EMAIL_RE}', "
+            "'[EMAIL]', 'g') AS t1 FROM d), "
+            "i AS (SELECT doc_id, n_emails, "
+            f"len(regexp_extract_all(t1, '{textops.PII_IPV4_RE}')) "
+            "AS n_ips, "
+            f"regexp_replace(t1, '{textops.PII_IPV4_RE}', '[IP]', 'g') "
+            "AS t2 FROM e) "
+            "SELECT doc_id, n_emails, n_ips, "
+            f"len(regexp_extract_all(t2, '{textops.PII_PHONE_RE}')) "
+            "AS n_phones, "
+            f"md5(regexp_replace(t2, '{textops.PII_PHONE_RE}', "
+            "'[PHONE]', 'g')) AS redacted_md5 FROM i"),
+        "paragraph_dedup": (
+            "WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents), "
+            "p AS (SELECT doc_id, CAST(i AS INT) AS pos, "
+            "md5(array_to_string(list_slice(arr, (i-1)*8+1, (i-1)*8+8), "
+            "' ')) AS para_hash FROM a, "
+            "LATERAL (SELECT unnest(generate_series(1, "
+            "CAST(ceil(len(arr)/8.0) AS BIGINT))) AS i) t) "
+            "SELECT doc_id, pos, para_hash, "
+            "(doc_id*10000+pos) = min(doc_id*10000+pos) "
+            "OVER (PARTITION BY para_hash) AS keep FROM p"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "

@@ -104,3 +104,30 @@ def pagerank_hosts(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
     """Driver-contract entry: PageRank over the deterministic host
     graph (see module docstring)."""
     return pagerank(host_link_edges(spark, sf_dir), iters)
+
+
+def host_degree_stats(spark, sf_dir) -> DataFrame:
+    """Per-host degree/weight profile of the link graph: out_degree /
+    out_weight (distinct targets / total links emitted) and in_degree /
+    in_weight (distinct referrers / total links received), zero-filled
+    for hosts that only appear on one side. The crawl-frontier
+    prioritizer's cheap centrality signal (one pass, no iteration).
+
+    100-TB shape: two map-side-combinable aggregations over the slim
+    edge table and a full-outer equi-join on host — all three
+    exchanges hash on uniform host keys; nothing document-sized
+    moves."""
+    e = host_link_edges(spark, sf_dir)
+    out = e.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("out_degree"),
+        F.sum("weight").alias("out_weight"))
+    inc = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").alias("in_degree"),
+        F.sum("weight").alias("in_weight"))
+    zero = F.lit(0).cast("long")
+    return (out.join(inc, "host", "full")
+            .select("host",
+                    F.coalesce("out_degree", zero).alias("out_degree"),
+                    F.coalesce("out_weight", zero).alias("out_weight"),
+                    F.coalesce("in_degree", zero).alias("in_degree"),
+                    F.coalesce("in_weight", zero).alias("in_weight")))

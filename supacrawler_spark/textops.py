@@ -456,3 +456,87 @@ def decontam_overlap(spark, sf_dir, n: int = 4,
             .groupBy("doc_id")
             .agg(F.countDistinct("gh").alias("n_hits"),
                  F.countDistinct("bench_doc_id").alias("n_bench_docs")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction and paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+# All three patterns are lookaround-free and backreference-free, so
+# Java regex (Spark codegen) and RE2 (DuckDB twin) match identically.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d-\d{3}-\d{4}"
+PARA_TOKENS = 8
+
+
+def _with_pii(docs):
+    """Deterministic PII augmentation: every doc gains one email, one
+    IPv4 and one phone number derived from doc_id (the same
+    synthetic-derivation convention the host queries use for
+    user_id % 32), so redaction is exercised on every row and both
+    engines synthesize byte-identical input."""
+    did = F.col("doc_id")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail"), (did % 7).cast("string"), F.lit(".com ip 10."),
+        (did % 200).cast("string"), F.lit(".0."),
+        (did % 250).cast("string"), F.lit(" tel +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", pii.alias("text"))
+
+
+def pii_redact(spark, sf_dir) -> DataFrame:
+    """PII scrubbing (the Dolma/CCNet pre-training hygiene pass):
+    count and replace emails, then IPv4s, then phone numbers — in that
+    order, so the dotted email domain can never be double-counted as
+    an address. Returns per-doc counts plus md5 of the redacted text
+    (slim 32-byte column instead of re-shipping the payload).
+
+    Scale shape: map-only, three native regexp_count/regexp_replace
+    pairs in one codegen stage — no shuffle, no UDF, no Python."""
+    d = _with_pii(_docs(spark, sf_dir))
+    n_emails = F.regexp_count("text", F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace("text", PII_EMAIL_RE, "[EMAIL]")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "[IP]")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "[PHONE]")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(t3).alias("redacted_md5"),
+    )
+
+
+def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb line-dedup
+    pass): documents split into fixed ``k``-token paragraphs; only the
+    globally first occurrence of each paragraph (by (doc_id, pos)) is
+    kept. Returns one row per paragraph: (doc_id, pos, para_hash,
+    keep) — downstream reassembles surviving text by filtering keep
+    and concatenating in pos order.
+
+    Scale shape: chunking is a map-only array transform; paragraphs
+    shuffle once as 32-byte md5 keys (never the text) into a
+    map-side-combinable min-aggregate, then an equi-join on the same
+    key — two co-partitioned hash exchanges total. The first-seen key
+    packs (doc_id, pos) into one BIGINT so the min() combines
+    map-side where a struct-min would not be oracle-portable."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("arr"))
+    chunks = (d.select("doc_id", F.posexplode(F.expr(
+        f"transform(sequence(1, cast(ceil(size(arr) / {k}.0) as int)), "
+        f"i -> array_join(slice(arr, (i - 1) * {k} + 1, {k}), ' '))"))
+        .alias("pos0", "para"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.md5("para").alias("para_hash")))
+    key = F.col("doc_id") * 10000 + F.col("pos")
+    firsts = chunks.groupBy("para_hash").agg(F.min(key).alias("first_key"))
+    return (chunks.join(firsts, "para_hash")
+            .select("doc_id", "pos", "para_hash",
+                    (key == F.col("first_key")).alias("keep")))
