@@ -187,6 +187,9 @@ def main() -> int:
         bench_q("dup_clusters", textops.dup_clusters)
         bench_q("decontam_overlap", textops.decontam_overlap)
         bench_q("cosine_topk", simsearch.cosine_topk)
+        bench_q("pii_redact", textops.pii_redact)
+        bench_q("paragraph_dedup", textops.paragraph_dedup)
+        bench_q("pagerank_hosts", E.graph.pagerank_hosts)
 
     total = round(sum(timings.values()) - timings["gen_pages"]
                   - timings["warmup"], 2)

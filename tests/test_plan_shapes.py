@@ -102,6 +102,31 @@ def test_html_pruned_after_extraction(spark, tmp_path):
     assert "discovery:" in scan_line, scan_line
 
 
+def test_pii_redact_is_map_only(spark):
+    """pii_redact must stay a single scan stage: no Exchange, no
+    Python worker (native regexp only)."""
+    from supacrawler_spark.textops import pii_redact
+
+    plan = _plan(pii_redact(spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_paragraph_dedup_shuffles_hashes_not_text(
+        spark, no_aqe_no_autobroadcast):
+    """paragraph_dedup exchanges exactly twice (first-seen aggregate +
+    equi-join), both keyed on the 32-byte para_hash — the paragraph
+    text never appears in an exchange's output schema."""
+    from supacrawler_spark.textops import paragraph_dedup
+
+    plan = _plan(paragraph_dedup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "para_hash" in line and "para#" not in line, line
+
+
 def test_decontam_overlap_broadcasts_benchmark(spark):
     """The benchmark gram set is broadcast; the corpus side of
     decontam_overlap must join map-side with no shuffle of the corpus
