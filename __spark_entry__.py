@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": textops.decontam_overlap,
         "pii_redact": textops.pii_redact,
         "paragraph_dedup": textops.paragraph_dedup,
+        "corpus_select": textops.corpus_select,
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
@@ -939,6 +940,68 @@ def _pagerank_sql(iters: int = graph.PR_ITERS) -> str:
     return sql + f" SELECT host, pr AS pagerank_fp FROM r{iters}"
 
 
+def _corpus_select_sql() -> str:
+    """corpus_select twin: the dup-cluster recursive chain extended
+    with per-doc repetition, language and contamination CTEs, joined
+    into one verdict row per document. Gate thresholds come from the
+    same textops constants the Spark side uses."""
+    g = " || ' ' || ".join(f"w[i+{k}]" for k in range(4))
+    return (
+        _dup_clusters_sql_cte() +
+        ", tokc AS (SELECT doc_id, len(string_split(text, ' ')) "
+        "AS n_tokens FROM documents), "
+        "kb AS (SELECT lab.id AS doc_id, row_number() OVER ("
+        "PARTITION BY lab.cluster_id "
+        "ORDER BY tokc.n_tokens DESC, lab.id ASC) AS rn "
+        "FROM lab JOIN tokc ON tokc.doc_id = lab.id), "
+        "reptok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "reptc AS (SELECT doc_id, tok, count(*) AS c FROM reptok "
+        "GROUP BY 1, 2), "
+        "rep AS (SELECT t.doc_id, "
+        "count(*) / max(tokc.n_tokens) AS dtr, "
+        "max(c) / max(tokc.n_tokens) AS ttf FROM reptc t "
+        "JOIN tokc ON tokc.doc_id = t.doc_id GROUP BY t.doc_id), "
+        f"langs AS (SELECT doc_id, {_lang_scores_sql()} FROM reptok "
+        "GROUP BY doc_id), "
+        "langp AS (SELECT doc_id, "
+        "CASE WHEN score_en = greatest(score_de, score_en, score_fr) "
+        "THEN 'en' WHEN score_de = greatest(score_de, score_en, score_fr) "
+        "THEN 'de' ELSE 'fr' END AS pred_lang FROM langs), "
+        "cw AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 4), "
+        "cgh AS (SELECT DISTINCT doc_id, gh FROM (SELECT doc_id, "
+        f"unnest(list_transform(range(1, len(w) - 2), i -> md5({g}))) "
+        "AS gh FROM cw)), "
+        "contam AS (SELECT DISTINCT c.doc_id FROM cgh c JOIN "
+        "(SELECT DISTINCT gh FROM cgh WHERE doc_id % 97 = 0) b "
+        "USING (gh) WHERE c.doc_id % 97 <> 0) "
+        "SELECT d.doc_id, "
+        f"(tokc.n_tokens BETWEEN {textops.CS_MIN_TOKENS} AND "
+        f"{textops.CS_MAX_TOKENS}) AS keep_tokens, "
+        f"(rep.dtr >= {textops.CS_MIN_DISTINCT_RATIO} AND "
+        f"rep.ttf <= {textops.CS_MAX_TOP_TOKEN_FRAC}) "
+        "AS keep_repetition, "
+        "(d.lang = 'en' AND langp.pred_lang = 'en') AS keep_lang, "
+        "(lab.id IS NULL OR kb.rn = 1) AS keep_dup, "
+        "(contam.doc_id IS NULL AND d.doc_id % 97 <> 0) "
+        "AS keep_decontam, "
+        f"(tokc.n_tokens BETWEEN {textops.CS_MIN_TOKENS} AND "
+        f"{textops.CS_MAX_TOKENS} "
+        f"AND rep.dtr >= {textops.CS_MIN_DISTINCT_RATIO} "
+        f"AND rep.ttf <= {textops.CS_MAX_TOP_TOKEN_FRAC} "
+        "AND d.lang = 'en' AND langp.pred_lang = 'en' "
+        "AND (lab.id IS NULL OR kb.rn = 1) "
+        "AND contam.doc_id IS NULL AND d.doc_id % 97 <> 0) AS keep "
+        "FROM documents d "
+        "JOIN tokc ON tokc.doc_id = d.doc_id "
+        "JOIN rep ON rep.doc_id = d.doc_id "
+        "JOIN langp ON langp.doc_id = d.doc_id "
+        "LEFT JOIN lab ON lab.id = d.doc_id "
+        "LEFT JOIN kb ON kb.doc_id = d.doc_id "
+        "LEFT JOIN contam ON contam.doc_id = d.doc_id")
+
+
 def oracle_sql() -> dict[str, str]:
     mh = ", ".join(
         f"min(md5('{k}' || '|' || shingle)) AS mh{k}"
@@ -1037,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, pos, para_hash, "
             "(doc_id*10000+pos) = min(doc_id*10000+pos) "
             "OVER (PARTITION BY para_hash) AS keep FROM p"),
+        "corpus_select": _corpus_select_sql(),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "

@@ -540,3 +540,66 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
     return (chunks.join(firsts, "para_hash")
             .select("doc_id", "pos", "para_hash",
                     (key == F.col("first_key")).alias("keep")))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-set selection
+# ---------------------------------------------------------------------------
+
+CS_MIN_TOKENS = 25
+CS_MAX_TOKENS = 95
+CS_MIN_DISTINCT_RATIO = 0.35
+CS_MAX_TOP_TOKEN_FRAC = 0.125
+
+
+def corpus_select(spark, sf_dir) -> DataFrame:
+    """The pipeline verdict: one row per document with each gate's
+    boolean and the final keep decision — length bounds, Gopher
+    repetition thresholds, predicted-language filter, near-dup
+    canonicalization (only a cluster's keeper survives), and benchmark
+    decontamination (contaminated docs and the benchmark itself
+    dropped). This is the query a training run actually consumes; the
+    per-gate booleans are the audit trail for ablations.
+
+    Scale shape: every input is one of the existing per-doc signal
+    tables (slim (doc_id, value) rows), left-joined on the uniform
+    doc_id key — co-partitioned hash joins; AQE coalesces the tiny
+    cluster/contamination sides to broadcasts at runtime. The ratio
+    thresholds compare IEEE-754 divisions of exact integer counts, so
+    the verdict is bit-identical across engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    rep = repetition_stats(spark, sf_dir).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "top_token_frac")
+    lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    clustered = dup_clusters(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_cluster"))
+    keepers = dedup_keep_best(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"),
+        F.lit(True).alias("is_keeper"))
+    contam = decontam_overlap(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contaminated"))
+    j = (docs.join(rep, "doc_id", "left")
+         .join(lang, "doc_id", "left")
+         .join(clustered, "doc_id", "left")
+         .join(keepers, "doc_id", "left")
+         .join(contam, "doc_id", "left"))
+    keep_tokens = F.col("n_tokens").between(CS_MIN_TOKENS, CS_MAX_TOKENS)
+    keep_rep = ((F.col("distinct_token_ratio") >= CS_MIN_DISTINCT_RATIO)
+                & (F.col("top_token_frac") <= CS_MAX_TOP_TOKEN_FRAC))
+    # target-language gate: the source label and our classifier must
+    # AGREE on the target language (pipelines cross-check the upstream
+    # CLD label against their own n-gram model before trusting either)
+    keep_lang = (F.col("lang") == "en") & (F.col("pred_lang") == "en")
+    keep_dup = (~F.coalesce("in_cluster", F.lit(False))
+                | F.coalesce("is_keeper", F.lit(False)))
+    keep_dec = (~F.coalesce("contaminated", F.lit(False))
+                & (F.col("doc_id") % 97 != 0))
+    return j.select(
+        "doc_id",
+        keep_tokens.alias("keep_tokens"),
+        keep_rep.alias("keep_repetition"),
+        keep_lang.alias("keep_lang"),
+        keep_dup.alias("keep_dup"),
+        keep_dec.alias("keep_decontam"),
+        (keep_tokens & keep_rep & keep_lang & keep_dup
+         & keep_dec).alias("keep"))
