@@ -276,6 +276,42 @@ def q_time_buckets(spark, sf_dir):
                  F.min("event_id").alias("first_event")))
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream via Spark's NATIVE
+    session_window operator (the idiomatic scale path: one hash
+    shuffle on user_id, sessions merged inside the aggregate — no
+    lag/cumsum window sort needed). A new session starts when the gap
+    from the previous event is >= 30 min (session_window's interval is
+    end-exclusive: an event landing exactly at prev_ts + gap opens a
+    new session; the oracle's lag+cumsum twin mirrors that with >=).
+    session_seq ranks a user's sessions chronologically — session
+    starts are > gap apart, so the order is total and engine-agnostic.
+    Double `value` is aggregated only with order-independent min/max
+    (float sums would hash-differ across engines); the duration is
+    exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.groupBy("user_id",
+                    F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+         .agg(F.count("*").alias("n_events"),
+              F.min("ts").alias("session_start"),
+              F.max("ts").alias("session_end"),
+              F.min("value").alias("min_value"),
+              F.max("value").alias("max_value")))
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return (s.select(
+        "user_id", "n_events", "session_start", "session_end",
+        "min_value", "max_value",
+        (F.unix_micros(F.col("session_end").cast("timestamp"))
+         - F.unix_micros(F.col("session_start").cast("timestamp")))
+        .alias("duration_us"))
+        .withColumn("session_seq", F.row_number().over(w)))
+
+
 def q_label_centroids(spark, sf_dir):
     """Array/aggregate coverage: per-label per-dimension embedding
     sums. Per-element exact decimal (float->double->decimal, the only
@@ -630,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "json_extract": q_json_extract,
         "time_buckets": q_time_buckets,
+        "sessionize": q_sessionize,
         "label_centroids": q_label_centroids,
         # text analysis
         "token_count": textops.token_count,
@@ -1160,6 +1197,23 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": (
             "SELECT event_id, json_extract_string(props, '$.k') AS k "
             "FROM events"),
+        "sessionize": (
+            "WITH x AS (SELECT user_id, event_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR "
+            "epoch_us(ts) - epoch_us(lag(ts) OVER w) >= "
+            f"{SESSION_GAP_MIN} * 60 * 1000000 THEN 1 ELSE 0 END "
+            "AS is_new FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "y AS (SELECT user_id, event_id, ts, value, "
+            "sum(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seq "
+            "FROM x) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "min(value) AS min_value, max(value) AS max_value, "
+            "epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us, "
+            "CAST(seq AS INT) AS session_seq "
+            "FROM y GROUP BY user_id, seq"),
         "time_buckets": (
             "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events, "
             "min(event_id) AS first_event FROM events GROUP BY 1"),
