@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": textops.pii_redact,
         "paragraph_dedup": textops.paragraph_dedup,
         "corpus_select": textops.corpus_select,
+        "top_terms": textops.top_terms,
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
@@ -1138,6 +1139,20 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id*10000+pos) = min(doc_id*10000+pos) "
             "OVER (PARTITION BY para_hash) AS keep FROM p"),
         "corpus_select": _corpus_select_sql(),
+        "top_terms": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "ft AS (SELECT * FROM toks WHERE term NOT IN ("
+            + ", ".join(f"'{s}'" for s in textops.STOPWORDS_EN) + ")), "
+            "tf AS (SELECT source, term, count(*) AS tf FROM ft "
+            "GROUP BY 1, 2), "
+            "df AS (SELECT term, count(*) AS df FROM "
+            "(SELECT DISTINCT doc_id, term FROM ft) GROUP BY 1), "
+            "r AS (SELECT tf.source, tf.term, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.source "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank "
+            "FROM tf JOIN df USING (term)) "
+            f"SELECT * FROM r WHERE rank <= {textops.TOP_TERMS_K}"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "

@@ -542,6 +542,39 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
                     (key == F.col("first_key")).alias("keep")))
 
 
+TOP_TERMS_K = 5
+
+
+def top_terms(spark, sf_dir, k: int = TOP_TERMS_K) -> DataFrame:
+    """Per-source distinctive terms: top-k non-stopword tokens per
+    source ranked tf-idf-style but integer-deterministic — tf DESC
+    (term frequency in the source), then df ASC (document frequency
+    across the corpus: rarer wins the tie), then term ASC. Corpus
+    profiling for source weighting/mixing decisions; avoiding the
+    float ln() of classical idf keeps the ranking bit-identical
+    across engines.
+
+    Scale shape: token explode collapses immediately into two
+    map-side-combinable aggregates — (source, term) tf and per-term
+    df — joined on the term key; the ranking window partitions by
+    source over the aggregated |sources|x|vocab| table (vocab-bounded,
+    not corpus-bounded), so the top-k sort never sees raw tokens."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source",
+                       F.explode(F.split("text", " ")).alias("term"))
+    toks = toks.filter(~F.col("term").isin(*STOPWORDS_EN))
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = (toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(F.count("*").alias("df")))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("tf").desc(), F.col("df").asc(),
+                  F.col("term").asc()))
+    return (tf.join(df, "term")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("source", "term", "tf", "df", "rank"))
+
+
 # ---------------------------------------------------------------------------
 # End-to-end training-set selection
 # ---------------------------------------------------------------------------
