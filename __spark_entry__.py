@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from supacrawler_spark import graph, parseops, simsearch, textops  # noqa: E402
+from supacrawler_spark.sources import warc  # noqa: E402
 from supacrawler_spark.functions import (  # noqa: E402
     canon_info,
     domain_scope_udf,
@@ -690,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": textops.paragraph_dedup,
         "corpus_select": textops.corpus_select,
         "top_terms": textops.top_terms,
+        # WARC container source (Common-Crawl-style shards)
+        "warc_roundtrip": warc.warc_roundtrip,
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
@@ -1139,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id*10000+pos) = min(doc_id*10000+pos) "
             "OVER (PARTITION BY para_hash) AS keep FROM p"),
         "corpus_select": _corpus_select_sql(),
+        "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
         "top_terms": (
             "WITH toks AS (SELECT doc_id, source, "
             "unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -1,0 +1,225 @@
+"""WARC/1.0 source — Common-Crawl-style container round-trip.
+
+The reference fetches the live web page-by-page (scrape/service.go
+scrapeWithPlaywright, crawl/service.go streamCrawl); at 100-TB scale
+the corpus instead arrives as WARC shards (Common Crawl publishes
+~64k ~1-GB ``*.warc.gz`` files per snapshot). This module gives the
+engine that ingestion path, Spark-first:
+
+- ``build_warc_bytes`` assembles a REAL ``WARC/1.0`` byte stream
+  (``response`` records carrying ``WARC-Target-URI`` / ``WARC-Date``
+  / ``Content-Length`` headers around an ``HTTP/1.1`` envelope) for
+  one shard's worth of documents. Exposed over
+  ``groupBy(file_id).applyInPandas`` so each task emits one shard —
+  the same shard = task granularity a real CC load has.
+- ``parse_warc_bytes`` is a pure-bytes streaming record parser:
+  header-block scan + ``Content-Length`` jumps, no regex over the
+  payload, no full-file ``split()`` copies. Records that are
+  truncated or malformed are skipped, never raised (one bad shard
+  region must not fail a 64k-shard job).
+- ``warc_scan`` wires the parser over ``mapInPandas`` so a directory
+  of shards read via ``spark.read.format("binaryFile")`` parses with
+  file-per-task parallelism; the fat payload dies inside the scan
+  task and only the slim projection (url, ts, status, length,
+  digest) ever moves.
+
+100-TB shape: shards are the parallelism unit (tens of thousands of
+tasks), records never shuffle, and the digest/length projection is
+what downstream dedup/quality operators consume. Every byte of a
+synthetic shard is a pure function of the ``documents`` row, so the
+DuckDB oracle states the expected parse a priori
+(url/date/status/length/md5 in closed form).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+_WARC_VERSION = b"WARC/1.0"
+
+# deterministic WARC-Date base: BASE_TS (synth.py) + doc_id seconds
+_DATE_BASE = "2024-01-01T00:00:00Z"
+
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("content_len", T.LongType()),
+    T.StructField("body_md5", T.StringType()),
+])
+
+
+def _warc_date(doc_id: int) -> str:
+    """ISO-8601 WARC-Date, deterministic: BASE_TS + doc_id seconds.
+
+    Mirrored by the oracle as
+    ``strftime(TIMESTAMP '2024-01-01' + doc_id * INTERVAL 1 SECOND,
+    '%Y-%m-%dT%H:%M:%SZ')``.
+    """
+    from datetime import datetime, timedelta
+    ts = datetime(2024, 1, 1) + timedelta(seconds=int(doc_id))
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def doc_url(doc_id: int, source: str) -> str:
+    """The record URI, mirrored by the oracle as a string concat."""
+    return f"https://{source}.example.org/doc/{doc_id}"
+
+
+def build_record(doc_id: int, source: str, text: str) -> bytes:
+    """One WARC response record: WARC header + HTTP/1.1 envelope +
+    body, terminated by the mandatory blank line (two CRLFs)."""
+    body = text.encode("utf-8")
+    http = (b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/html; charset=utf-8" + CRLF
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF + body)
+    url = doc_url(doc_id, source)
+    rid = hashlib.md5(url.encode()).hexdigest()
+    header = (_WARC_VERSION + CRLF
+              + b"WARC-Type: response" + CRLF
+              + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + CRLF
+              + b"WARC-Target-URI: " + url.encode() + CRLF
+              + b"WARC-Date: " + _warc_date(doc_id).encode() + CRLF
+              + b"Content-Type: application/http; msgtype=response" + CRLF
+              + b"Content-Length: " + str(len(http)).encode() + CRLF
+              + CRLF)
+    return header + http + CRLF + CRLF
+
+
+def build_warc_bytes(rows) -> bytes:
+    """Assemble one shard from (doc_id, source, text) tuples, sorted
+    by doc_id so shard bytes are order-independent of upstream
+    partitioning."""
+    return b"".join(build_record(d, s, t)
+                    for d, s, t in sorted(rows, key=lambda r: r[0]))
+
+
+def parse_warc_bytes(buf: bytes):
+    """Stream records out of one shard's bytes.
+
+    Yields dicts matching WARC_RECORD_SCHEMA. Jumps by Content-Length
+    (never scans payload bytes for separators, so bodies containing
+    'WARC/1.0' cannot desync the parser). Malformed or truncated
+    regions are skipped by re-synchronizing on the next version line.
+    """
+    pos, n = 0, len(buf)
+    while pos < n:
+        start = buf.find(_WARC_VERSION, pos)
+        if start < 0:
+            return
+        hdr_end = buf.find(CRLF + CRLF, start)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in buf[start:hdr_end].split(CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        block_start = hdr_end + 4
+        block_end = block_start + clen
+        if block_end > n:        # truncated final record: drop it
+            return
+        pos = block_end + 4      # skip the record-terminating blank line
+        if headers.get(b"warc-type") != b"response":
+            continue
+        block = buf[block_start:block_end]
+        http_end = block.find(CRLF + CRLF)
+        if http_end < 0:
+            continue
+        status_line = block[:block.find(CRLF)].split(b" ")
+        try:
+            status = int(status_line[1])
+        except (IndexError, ValueError):
+            continue
+        body = block[http_end + 4:]
+        yield {
+            "url": headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace"),
+            "warc_date": headers.get(b"warc-date", b"").decode(),
+            "http_status": status,
+            "content_len": len(body),
+            "body_md5": hashlib.md5(body).hexdigest(),
+        }
+
+
+def warc_scan(shards: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse a DataFrame of WARC shard payloads (one row per shard —
+    e.g. from ``spark.read.format("binaryFile")`` where the column is
+    ``content``) into slim record rows via one mapInPandas pass."""
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for buf in pdf[payload_col]:
+                rows.extend(parse_warc_bytes(bytes(buf or b"")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shards.mapInPandas(work, WARC_RECORD_SCHEMA)
+
+
+RECORDS_PER_SHARD = 32
+
+
+def docs_as_warc_shards(spark, sf_dir: str,
+                        records_per_shard: int = RECORDS_PER_SHARD
+                        ) -> DataFrame:
+    """Fixture: assemble the documents table into WARC shards,
+    one task per shard (groupBy file_id → applyInPandas). At real
+    scale the shards already exist on storage and enter through
+    binaryFile; this builder exists so the container path is
+    exercised end-to-end with a-priori-known bytes."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text")
+            .withColumn("file_id",
+                        (F.col("doc_id") / records_per_shard)
+                        .cast("long")))
+
+    out_schema = T.StructType([
+        T.StructField("file_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        payload = build_warc_bytes(
+            list(zip(pdf["doc_id"].astype(int),
+                     pdf["source"], pdf["text"])))
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "payload": [payload]})
+
+    return docs.groupBy("file_id").applyInPandas(assemble, out_schema)
+
+
+def warc_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """Driver query: documents → WARC shards → parsed records.
+
+    The parse output must equal the closed-form oracle over
+    ``documents`` (url/date/status/byte-length/md5 per row) — any
+    drift in container assembly, header framing, Content-Length
+    math, or parser offsets shows up as a value mismatch.
+    """
+    return warc_scan(docs_as_warc_shards(spark, sf_dir))
+
+
+def warc_roundtrip_oracle_sql() -> str:
+    return (
+        "SELECT 'https://' || source || '.example.org/doc/' || doc_id "
+        "AS url, "
+        "strftime(TIMESTAMP '2024-01-01 00:00:00' + "
+        "to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date, "
+        "200 AS http_status, "
+        "CAST(strlen(text) AS BIGINT) AS content_len, "
+        "md5(text) AS body_md5 "
+        "FROM documents")

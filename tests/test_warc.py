@@ -1,0 +1,88 @@
+"""WARC container source: assembly/parse round-trip, resilience to
+corrupt shard regions, and the real binaryFile scan path."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from supacrawler_spark.sources import warc
+
+DOCS = [
+    (0, "src0", "hello é world"),
+    (1, "src1", "x" * 100),
+    # payload embedding the version string + header separators must
+    # not desync the Content-Length-jumping parser
+    (7, "src2", "body with WARC/1.0 inside\r\n\r\n tricky"),
+    (9, "src0", ""),  # empty body
+]
+
+
+def test_roundtrip_pure():
+    buf = warc.build_warc_bytes(DOCS)
+    recs = list(warc.parse_warc_bytes(buf))
+    assert len(recs) == len(DOCS)
+    for (d, s, t), r in zip(sorted(DOCS), recs):
+        body = t.encode("utf-8")
+        assert r["url"] == warc.doc_url(d, s)
+        assert r["http_status"] == 200
+        assert r["content_len"] == len(body)
+        assert r["body_md5"] == hashlib.md5(body).hexdigest()
+        assert r["warc_date"] == warc._warc_date(d)
+
+
+def test_truncated_final_record_dropped():
+    buf = warc.build_warc_bytes(DOCS)
+    recs = list(warc.parse_warc_bytes(buf[:-30]))
+    assert len(recs) == len(DOCS) - 1
+
+
+def test_resync_after_garbage_and_bad_length():
+    buf = warc.build_warc_bytes(DOCS)
+    assert len(list(warc.parse_warc_bytes(b"garbage\r\n\r\n" + buf))) \
+        == len(DOCS)
+    bad = buf.replace(b"Content-Length: 100", b"Content-Length: zz", 1)
+    # the record with the unparseable length is skipped, rest survive
+    assert len(list(warc.parse_warc_bytes(bad))) == len(DOCS) - 1
+    assert list(warc.parse_warc_bytes(b"")) == []
+    assert list(warc.parse_warc_bytes(b"WARC/1.0\r\nno-terminator")) == []
+
+
+def test_non_response_records_skipped():
+    rec = warc.build_record(3, "src3", "abc")
+    info = rec.replace(b"WARC-Type: response", b"WARC-Type: warcinfo", 1)
+    recs = list(warc.parse_warc_bytes(info + rec))
+    assert len(recs) == 1 and recs[0]["url"] == warc.doc_url(3, "src3")
+
+
+def test_binaryfile_scan_path(spark, tmp_path):
+    """Shards written to disk as real .warc files, read back via
+    spark.read.format('binaryFile') — the production entry path."""
+    shard_docs = [DOCS[:2], DOCS[2:]]
+    for i, docs in enumerate(shard_docs):
+        (tmp_path / f"shard-{i:05d}.warc").write_bytes(
+            warc.build_warc_bytes(docs))
+    shards = (spark.read.format("binaryFile")
+              .load(str(tmp_path) + "/*.warc"))
+    out = (warc.warc_scan(shards, payload_col="content")
+           .toPandas().sort_values("url").reset_index(drop=True))
+    exp = pd.DataFrame(
+        sorted(({"url": warc.doc_url(d, s),
+                 "content_len": len(t.encode())} for d, s, t in DOCS),
+               key=lambda r: r["url"]))
+    assert list(out["url"]) == list(exp["url"])
+    assert list(out["content_len"]) == list(exp["content_len"])
+    assert (out["http_status"] == 200).all()
+
+
+def test_spark_roundtrip_matches_documents(spark):
+    sf = "/root/testdata/sf0.001"
+    out = (warc.warc_roundtrip(spark, sf).toPandas()
+           .sort_values("url").reset_index(drop=True))
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    assert len(out) == len(docs)
+    exp_md5 = {warc.doc_url(int(r.doc_id), r.source):
+               hashlib.md5(r.text.encode()).hexdigest()
+               for r in docs.itertuples()}
+    got = dict(zip(out["url"], out["body_md5"]))
+    assert got == exp_md5
