@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from supacrawler_spark import graph, parseops, simsearch, textops  # noqa: E402
-from supacrawler_spark.sources import warc  # noqa: E402
+from supacrawler_spark.sources import sitemap, warc  # noqa: E402
 from supacrawler_spark.functions import (  # noqa: E402
     canon_info,
     domain_scope_udf,
@@ -693,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.top_terms,
         # WARC container source (Common-Crawl-style shards)
         "warc_roundtrip": warc.warc_roundtrip,
+        "sitemap_parse": sitemap.sitemap_parse,
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
@@ -1143,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY para_hash) AS keep FROM p"),
         "corpus_select": _corpus_select_sql(),
         "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
+        "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "top_terms": (
             "WITH toks AS (SELECT doc_id, source, "
             "unnest(string_split(text, ' ')) AS term FROM documents), "
