@@ -691,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": textops.paragraph_dedup,
         "corpus_select": textops.corpus_select,
         "top_terms": textops.top_terms,
+        "stratified_sample": textops.stratified_sample,
         # WARC container source (Common-Crawl-style shards)
         "warc_roundtrip": warc.warc_roundtrip,
         "sitemap_parse": sitemap.sitemap_parse,
@@ -1145,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_select": _corpus_select_sql(),
         "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
+        "stratified_sample": textops.stratified_sample_oracle_sql(),
         "top_terms": (
             "WITH toks AS (SELECT doc_id, source, "
             "unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -542,6 +542,58 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
                     (key == F.col("first_key")).alias("keep")))
 
 
+SPLIT_TRAIN_PCT = 80        # bucket < 80        -> train
+SPLIT_VAL_PCT = 90          # 80 <= bucket < 90  -> val; else test
+
+
+def stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic train/val/test assignment + per-source quota
+    sampling — the split/mixing step of a training-data pipeline,
+    with no RNG state (reproducible across reruns, engines, and
+    cluster sizes; splitting 100 TB must not depend on task order).
+
+    Two independent salted md5 buckets per doc:
+    - ``bucket``  (salt 'split|'): 0-99 -> train/val/test by the
+      80/90 thresholds (a stable holdout: a doc never migrates
+      between splits when the corpus grows);
+    - ``keep``    (salt 'keep|'): per-source downsampling quota —
+      rate_pct(source) = 50 + (source number % 5) * 10, the
+      source-mixing knob (each source contributes a deterministic
+      fraction).
+
+    Scale shape: map-only column algebra (md5 + hex→int + compares),
+    whole-stage codegen, zero shuffle, zero Python."""
+    docs = _docs(spark, sf_dir)
+
+    def bucket(salt):
+        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        return (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 100)
+
+    rate = (F.substring("source", 4, 10).cast("int") % 5) * 10 + 50
+    b = bucket("split|")
+    return docs.select(
+        "doc_id", "source",
+        b.alias("bucket"),
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+         .when(b < SPLIT_VAL_PCT, "val")
+         .otherwise("test").alias("split"),
+        (bucket("keep|") < rate).alias("keep"))
+
+
+def stratified_sample_oracle_sql() -> str:
+    def bucket(salt):
+        return (f"(('0x' || substring(md5('{salt}' || doc_id), 1, 4))"
+                "::INT % 100)")
+    b = bucket("split|")
+    return (
+        f"SELECT doc_id, source, {b} AS bucket, "
+        f"CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {SPLIT_VAL_PCT} THEN 'val' ELSE 'test' END AS split, "
+        f"{bucket('keep|')} < "
+        "(CAST(substring(source, 4) AS INT) % 5) * 10 + 50 AS keep "
+        "FROM documents")
+
+
 TOP_TERMS_K = 5
 
 
