@@ -313,6 +313,17 @@ def q_sessionize(spark, sf_dir):
         .withColumn("session_seq", F.row_number().over(w)))
 
 
+def _scrapeops():
+    from supacrawler_spark import scrapeops
+    return scrapeops
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Change-frequency recrawl scheduler over the events table read
+    as per-page observation history (scrapeops.recrawl_schedule)."""
+    return _scrapeops().recrawl_schedule(spark, sf_dir)
+
+
 def q_label_centroids(spark, sf_dir):
     """Array/aggregate coverage: per-label per-dimension embedding
     sums. Per-element exact decimal (float->double->decimal, the only
@@ -692,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": textops.corpus_select,
         "top_terms": textops.top_terms,
         "stratified_sample": textops.stratified_sample,
+        "recrawl_schedule": q_recrawl_schedule,
         # WARC container source (Common-Crawl-style shards)
         "warc_roundtrip": warc.warc_roundtrip,
         "sitemap_parse": sitemap.sitemap_parse,
@@ -1147,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "stratified_sample": textops.stratified_sample_oracle_sql(),
+        "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),
         "top_terms": (
             "WITH toks AS (SELECT doc_id, source, "
             "unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -171,3 +171,91 @@ def significant_change(
         | ((f_link - i_link) > 5)
         | ((i_hash != f_hash) & (f_text > i_text + 100))
     )
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling from observation history
+# ---------------------------------------------------------------------------
+
+US_PER_DAY = 86_400_000_000
+RATE_SCALE = 1_000          # changes/day reported on an exact e3 grid
+
+
+def recrawl_schedule(spark_or_df, sf_dir: str = None) -> "DataFrame":
+    """Change-frequency recrawl scheduler — the batch generalization
+    of the reference's per-page change detection (significant_change /
+    hasSignificantContentChange, scrape/service.go:1017-1074): given a
+    page's OBSERVATION HISTORY (fetch timestamp + observed state), a
+    100-TB crawler must decide which URLs to refetch first. Estimate =
+    observed state transitions per day; refetch hottest first.
+
+    Input contract: an observations table (page key, ts, tiebreak id,
+    observed state). The driver fixture reads `events` as that shape
+    (user_id = page key, event_type = observed state — the
+    content-signature proxy; ts ordering broken deterministically by
+    event_id so equal timestamps cannot desync engines).
+
+    Exact arithmetic: changes/day is reported as
+    ``n_changes * US_PER_DAY * RATE_SCALE DIV span_us`` (BIGINT
+    integer division — no float-division hash drift); single-
+    observation pages get a NULL rate and sort to the back of the
+    schedule, newest-first.
+
+    Scale shape: the transition count is a lag window and the per-page
+    rollup a groupBy on the SAME key, so both ride ONE hash exchange
+    on the page key (pinned by tests/test_recrawl.py plan assertion);
+    the final schedule ranking runs over the page-bounded rollup
+    (|pages| rows, not |observations|), the same bounded-global-rank
+    shape as top_terms/frontier_rank."""
+    from pyspark.sql import Window
+
+    ev = (spark_or_df.read.parquet(f"{sf_dir}/events.parquet")
+          if sf_dir is not None else spark_or_df)
+    obs = ev.select(F.col("user_id").alias("page_id"), "ts",
+                    "event_id", F.col("event_type").alias("state"))
+
+    w = Window.partitionBy("page_id").orderBy("ts", "event_id")
+    tagged = obs.withColumn("prev_state", F.lag("state").over(w))
+    per = tagged.groupBy("page_id").agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.when(F.col("prev_state").isNotNull()
+                     & (F.col("prev_state") != F.col("state")), 1)
+              .otherwise(0)).cast("bigint").alias("n_changes"),
+        (F.unix_micros(F.max("ts").cast("timestamp"))
+         - F.unix_micros(F.min("ts").cast("timestamp")))
+        .alias("span_us"),
+        F.max("ts").alias("last_seen"))
+
+    rate = F.when(
+        F.col("span_us") > 0,
+        F.expr(f"CAST((n_changes * {US_PER_DAY * RATE_SCALE}) "
+               "DIV span_us AS BIGINT)"))
+    ranked = per.withColumn("changes_per_day_e3", rate)
+    order = Window.orderBy(F.col("changes_per_day_e3").desc_nulls_last(),
+                           F.col("last_seen").desc(),
+                           F.col("page_id").asc())
+    return ranked.select(
+        "page_id", "n_obs", "n_changes", "span_us",
+        "changes_per_day_e3",
+        F.row_number().over(order).cast("int").alias("fetch_order"))
+
+
+def recrawl_schedule_oracle_sql() -> str:
+    return (
+        "WITH o AS (SELECT user_id AS page_id, ts, event_id, "
+        "event_type AS state, "
+        "lag(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev_state FROM events), "
+        "p AS (SELECT page_id, count(*) AS n_obs, "
+        "CAST(sum(CASE WHEN prev_state IS NOT NULL "
+        "AND prev_state <> state THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_changes, "
+        "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) "
+        "AS span_us, max(ts) AS last_seen FROM o GROUP BY page_id), "
+        "r AS (SELECT *, CASE WHEN span_us > 0 THEN "
+        f"CAST((n_changes * {US_PER_DAY * RATE_SCALE}) // span_us "
+        "AS BIGINT) END AS changes_per_day_e3 FROM p) "
+        "SELECT page_id, n_obs, n_changes, span_us, "
+        "changes_per_day_e3, CAST(row_number() OVER ("
+        "ORDER BY changes_per_day_e3 DESC NULLS LAST, "
+        "last_seen DESC, page_id ASC) AS INT) AS fetch_order FROM r")
