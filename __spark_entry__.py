@@ -477,6 +477,19 @@ def q_parse_robots(spark, sf_dir):
     return robotskit.parse_robots_rules(df)
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt bodies (robotskit
+    .robots_sitemaps): every fixture host declares one Sitemap line
+    up top; hid % 4 == 1 hosts add a lowercase one after the groups."""
+    from supacrawler_spark import robotskit
+    from supacrawler_spark.sources.synth import host_name, n_hosts
+
+    rows = [(host_name(h), robotskit.synth_robots_txt(h))
+            for h in range(n_hosts())]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    return robotskit.robots_sitemaps(df)
+
+
 def q_audio_metadata(spark, sf_dir):
     """Multimodal audio: REAL RIFF/WAVE chunk-walk parsing of complete
     WAV containers; the oracle recomputes channels/rate/bits/samples/
@@ -704,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.top_terms,
         "stratified_sample": textops.stratified_sample,
         "recrawl_schedule": q_recrawl_schedule,
+        "robots_sitemaps": q_robots_sitemaps,
         # WARC container source (Common-Crawl-style shards)
         "warc_roundtrip": warc.warc_roundtrip,
         "sitemap_parse": sitemap.sitemap_parse,
@@ -1160,6 +1174,16 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "stratified_sample": textops.stratified_sample_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),
+        "robots_sitemaps": (
+            "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "
+            "CASE WHEN t.x = 0 THEN 'hot.example.org' "
+            "ELSE 'h' || t.x || '.example.org' END AS host "
+            "FROM range(42) t(x)) "
+            "SELECT host, CAST(0 AS INT) AS pos, "
+            "'https://example.org/sitemap.xml' AS sitemap_url FROM h "
+            "UNION ALL SELECT host, CAST(1 AS INT), "
+            "'https://example.org/sitemap-news.xml' FROM h "
+            "WHERE hid % 4 = 1"),
         "top_terms": (
             "WITH toks AS (SELECT doc_id, source, "
             "unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -185,4 +185,29 @@ def synth_robots_txt(hid: int) -> str:
             f"Crawl-Delay: {1 + hid % 5}",
             "Disallow: /news/",
         ]
+    if hid % 4 == 1:
+        # a second Sitemap line AFTER the groups (RFC 9309 allows the
+        # field anywhere), lowercase to exercise case-insensitivity
+        lines += ["", "sitemap: https://example.org/sitemap-news.xml"]
     return "\n".join(lines)
+
+
+# Sitemap field: case-insensitive, anywhere in the file, outside any
+# group (RFC 9309 §2.3 "other records"). The rule parser above treats
+# it as an unknown field (ends a header run, robotskit.py:70); this
+# extractor is the discovery path that feeds sitemap.parse_sitemap →
+# seeds_from_sitemaps, closing the robots → sitemap → seeds loop.
+_SITEMAP_LINE_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def robots_sitemaps(df: DataFrame, host_col: str = "host",
+                    txt_col: str = "robots_txt") -> DataFrame:
+    """Extract Sitemap directives from raw robots.txt bodies —
+    native regexp over the text column (map-only, codegen, no UDF);
+    posexplode keeps in-file order as ``pos``."""
+    from pyspark.sql import functions as F
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(txt_col), F.lit(_SITEMAP_LINE_RE), F.lit(1)))
+        .alias("pos", "sitemap_url"))

@@ -95,3 +95,48 @@ def test_robots_df_from_texts_feeds_the_crawl(spark, web):
                            robots_df=gen_robots_df(spark))
     assert [tuple(r) for r in run_parsed.trace.collect()] == \
            [tuple(r) for r in run_direct.trace.collect()]
+
+
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap directives: case-insensitive, any position, in-file
+    order preserved; hosts without a directive yield no rows."""
+    rows = [
+        ("a.org", "Sitemap: https://a.org/s1.xml\nUser-agent: *\n"
+                  "Disallow: /x\nsitemap: https://a.org/s2.xml"),
+        ("b.org", "SITEMAP:https://b.org/all.xml"),
+        ("c.org", "User-agent: *\nDisallow: /"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = [(r.host, r.pos, r.sitemap_url)
+           for r in R.robots_sitemaps(df)
+           .orderBy("host", "pos").collect()]
+    assert got == [
+        ("a.org", 0, "https://a.org/s1.xml"),
+        ("a.org", 1, "https://a.org/s2.xml"),
+        ("b.org", 0, "https://b.org/all.xml"),
+    ]
+
+
+def test_robots_to_sitemap_to_seeds_composition(spark):
+    """The discovery loop: robots.txt -> sitemap URL -> (fetched)
+    urlset body -> seeds DataFrame in run_crawl's contract."""
+    from supacrawler_spark.sources import sitemap as SM
+
+    robots = spark.createDataFrame(
+        [("a.org", "Sitemap: https://a.org/sm.xml\nUser-agent: *")],
+        "host string, robots_txt string")
+    locs = R.robots_sitemaps(robots)
+    assert [r.sitemap_url for r in locs.collect()] == \
+        ["https://a.org/sm.xml"]
+    # a fetch of that URL yields the body; join body by url and parse
+    bodies = spark.createDataFrame(
+        [("https://a.org/sm.xml",
+          "<urlset><url><loc>https://a.org/p1</loc>"
+          "<priority>0.9</priority></url>"
+          "<url><loc>https://a.org/p2</loc></url></urlset>")],
+        "sitemap_url string, xml string")
+    fetched = locs.join(bodies, "sitemap_url")
+    seeds = SM.seeds_from_sitemaps(fetched)
+    assert [(r.url, r.seed_rank)
+            for r in seeds.orderBy("seed_rank").collect()] == \
+        [("https://a.org/p1", 0), ("https://a.org/p2", 1)]
