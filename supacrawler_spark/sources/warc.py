@@ -72,25 +72,34 @@ def doc_url(doc_id: int, source: str) -> str:
     return f"https://{source}.example.org/doc/{doc_id}"
 
 
-def build_record(doc_id: int, source: str, text: str) -> bytes:
-    """One WARC response record: WARC header + HTTP/1.1 envelope +
-    body, terminated by the mandatory blank line (two CRLFs)."""
-    body = text.encode("utf-8")
-    http = (b"HTTP/1.1 200 OK" + CRLF
+def build_record_raw(url: str, date: str, body: bytes,
+                     status: int = 200,
+                     reason: str = "OK") -> bytes:
+    """One WARC response record around arbitrary content: WARC header
+    + HTTP/1.1 envelope + body, terminated by the mandatory blank
+    line (two CRLFs). The corpus-loading builder (any url/date/bytes);
+    build_record is the documents-fixture specialization."""
+    http = (f"HTTP/1.1 {status} {reason}".encode() + CRLF
             + b"Content-Type: text/html; charset=utf-8" + CRLF
             + b"Content-Length: " + str(len(body)).encode() + CRLF
             + CRLF + body)
-    url = doc_url(doc_id, source)
     rid = hashlib.md5(url.encode()).hexdigest()
     header = (_WARC_VERSION + CRLF
               + b"WARC-Type: response" + CRLF
               + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + CRLF
               + b"WARC-Target-URI: " + url.encode() + CRLF
-              + b"WARC-Date: " + _warc_date(doc_id).encode() + CRLF
+              + b"WARC-Date: " + date.encode() + CRLF
               + b"Content-Type: application/http; msgtype=response" + CRLF
               + b"Content-Length: " + str(len(http)).encode() + CRLF
               + CRLF)
     return header + http + CRLF + CRLF
+
+
+def build_record(doc_id: int, source: str, text: str) -> bytes:
+    """Documents-fixture record: url/date derived from doc_id so the
+    oracle knows every field a priori."""
+    return build_record_raw(doc_url(doc_id, source), _warc_date(doc_id),
+                            text.encode("utf-8"))
 
 
 def build_warc_bytes(rows) -> bytes:
@@ -101,10 +110,11 @@ def build_warc_bytes(rows) -> bytes:
                     for d, s, t in sorted(rows, key=lambda r: r[0]))
 
 
-def parse_warc_bytes(buf: bytes):
+def parse_warc_bytes(buf: bytes, with_body: bool = False):
     """Stream records out of one shard's bytes.
 
-    Yields dicts matching WARC_RECORD_SCHEMA. Jumps by Content-Length
+    Yields dicts matching WARC_RECORD_SCHEMA (plus ``body`` bytes when
+    ``with_body`` — the corpus-loading path). Jumps by Content-Length
     (never scans payload bytes for separators, so bodies containing
     'WARC/1.0' cannot desync the parser). Malformed or truncated
     regions are skipped by re-synchronizing on the next version line.
@@ -144,7 +154,7 @@ def parse_warc_bytes(buf: bytes):
         except (IndexError, ValueError):
             continue
         body = block[http_end + 4:]
-        yield {
+        rec = {
             "url": headers.get(b"warc-target-uri", b"").decode(
                 "utf-8", "replace"),
             "warc_date": headers.get(b"warc-date", b"").decode(),
@@ -152,6 +162,9 @@ def parse_warc_bytes(buf: bytes):
             "content_len": len(body),
             "body_md5": hashlib.md5(body).hexdigest(),
         }
+        if with_body:
+            rec["body"] = body
+        yield rec
 
 
 def warc_scan(shards: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -223,3 +236,51 @@ def warc_roundtrip_oracle_sql() -> str:
         "CAST(strlen(text) AS BIGINT) AS content_len, "
         "md5(text) AS body_md5 "
         "FROM documents")
+
+
+def warc_to_pages(shards: DataFrame,
+                  payload_col: str = "payload") -> DataFrame:
+    """Load the CRAWL CORPUS from WARC shards — the input_hint's
+    ``pages(url, warc_ts, html, text, lang)`` table materialized
+    straight from Common-Crawl-style files, ready for
+    ``sources.prepare_pages`` → ``run_crawl``.
+
+    Only 200-status response records become pages. ``text``/``lang``
+    are emitted as NULL: in this engine they are *derived* corpus
+    columns (the extraction kernel recomputes text from html on every
+    fetch — the frozen column is a fixture convenience, not an input
+    requirement), and a WARC shard carries neither.
+
+    Scale shape: same file-per-task mapInPandas as warc_scan; the
+    html bytes stay inside the scan task until the fetch-join stage
+    consumes them (where they die at extraction, operators/fetch.py).
+    """
+    raw_schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for buf in pdf[payload_col]:
+                for r in parse_warc_bytes(bytes(buf or b""),
+                                          with_body=True):
+                    rows.append({"url": r["url"],
+                                 "warc_date": r["warc_date"],
+                                 "http_status": r["http_status"],
+                                 "html": r["body"]})
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              raw_schema.fields])
+
+    raw = shards.mapInPandas(work, raw_schema)
+    return (raw.filter(F.col("http_status") == 200)
+            .select("url",
+                    F.to_timestamp("warc_date",
+                                   "yyyy-MM-dd'T'HH:mm:ss'Z'")
+                    .alias("warc_ts"),
+                    "html",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang")))

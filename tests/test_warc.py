@@ -86,3 +86,46 @@ def test_spark_roundtrip_matches_documents(spark):
                for r in docs.itertuples()}
     got = dict(zip(out["url"], out["body_md5"]))
     assert got == exp_md5
+
+
+def test_crawl_from_warc_shards(spark, web, tmp_path):
+    """The input_hint loop closed: pages -> WARC shards on disk ->
+    binaryFile -> warc_to_pages -> run_crawl is trace- and
+    byte-identical to the same crawl over the parquet corpus."""
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.sources import gen_seeds
+
+    pages_df, _, n_docs = web
+    rows = pages_df.select("url", "warc_ts", "html").collect()
+    # two shards, split arbitrarily
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        buf = b"".join(
+            warc.build_record_raw(
+                r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                bytes(r.html))
+            for r in chunk)
+        (tmp_path / f"cc-{i:05d}.warc").write_bytes(buf)
+
+    shards = (spark.read.format("binaryFile")
+              .load(str(tmp_path) + "/*.warc"))
+    warc_pages = warc.warc_to_pages(shards, payload_col="content")
+    assert [f.name for f in warc_pages.schema.fields] == \
+        ["url", "warc_ts", "html", "text", "lang"]
+
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=40)
+    via_warc = run_crawl(spark, warc_pages, seeds, params)
+    via_parquet = run_crawl(spark, pages_df, seeds, params)
+
+    def trace(run):
+        return [(r.crawl_ord, r.iter, r.depth, r.url, r.status_code)
+                for r in run.trace.collect()]
+
+    def bodies(run):
+        return sorted((r.url, r.markdown, r.text)
+                      for r in run.results.collect())
+
+    assert trace(via_warc) == trace(via_parquet)
+    assert bodies(via_warc) == bodies(via_parquet)
