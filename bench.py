@@ -190,6 +190,11 @@ def main() -> int:
         bench_q("pii_redact", textops.pii_redact)
         bench_q("paragraph_dedup", textops.paragraph_dedup)
         bench_q("pagerank_hosts", E.graph.pagerank_hosts)
+        from supacrawler_spark.sources import warc as _warc
+        bench_q("warc_roundtrip", _warc.warc_roundtrip)
+        from supacrawler_spark import scrapeops as _sco
+        bench_q("recrawl_schedule", _sco.recrawl_schedule)
+        bench_q("stratified_sample", textops.stratified_sample)
 
     total = round(sum(timings.values()) - timings["gen_pages"]
                   - timings["warmup"], 2)
