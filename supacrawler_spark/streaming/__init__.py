@@ -140,3 +140,29 @@ def run_available_now(stream_df: DataFrame, checkpoint: str,
          .start())
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"select * from {name}").collect()
+
+
+def stream_warc_shards(spark: SparkSession, shard_dir: str,
+                       max_files_per_trigger: int = 16) -> DataFrame:
+    """Incremental WARC-shard ingestion: watch a directory of
+    Common-Crawl-style shards (a new snapshot drop = new files) and
+    parse each exactly once into slim record rows. Spark's file
+    source tracks processed files in the checkpoint, so re-runs and
+    restarts never re-parse a shard — the streaming twin of
+    sources/warc.warc_scan, same parser, same mapInPandas shape
+    (file-per-task; payload dies in the scan stage).
+
+    maxFilesPerTrigger bounds a micro-batch to a shard budget so a
+    64k-shard backlog drains in scheduler-sized chunks instead of one
+    giant batch."""
+    from supacrawler_spark.sources import warc as _warc
+
+    # streaming sources need an explicit schema; binaryFile's is fixed
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    shards = (spark.readStream.format("binaryFile")
+              .schema(schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .option("pathGlobFilter", "*.warc")
+              .load(shard_dir))
+    return _warc.warc_scan(shards, payload_col="content")

@@ -129,3 +129,36 @@ def test_crawl_from_warc_shards(spark, web, tmp_path):
 
     assert trace(via_warc) == trace(via_parquet)
     assert bodies(via_warc) == bodies(via_parquet)
+
+
+def test_streaming_shard_ingest_exactly_once(spark, tmp_path):
+    """New shard files are parsed incrementally and exactly once:
+    drain, drop a new shard, drain again -> only the new records;
+    a third drain with nothing new -> zero records."""
+    from supacrawler_spark.streaming import stream_warc_shards
+
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "records")
+
+    def drain():
+        q = (stream_warc_shards(spark, str(shard_dir)).writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(r.url for r in
+                      spark.read.parquet(out_dir).collect())
+
+    (shard_dir / "s0.warc").write_bytes(warc.build_warc_bytes(DOCS[:2]))
+    assert drain() == sorted(warc.doc_url(d, s) for d, s, _ in DOCS[:2])
+
+    # a new shard drop: only its records are appended (shard s0 is
+    # tracked in the checkpoint and never re-parsed)
+    (shard_dir / "s1.warc").write_bytes(warc.build_warc_bytes(DOCS[2:]))
+    all_urls = sorted(warc.doc_url(d, s) for d, s, _ in DOCS)
+    assert drain() == all_urls
+
+    # nothing new: drain is a no-op (exactly-once, no duplicates)
+    assert drain() == all_urls
