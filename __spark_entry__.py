@@ -720,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         # WARC container source (Common-Crawl-style shards)
         "warc_roundtrip": warc.warc_roundtrip,
+        "warc_cdx": warc.warc_cdx,
         "sitemap_parse": sitemap.sitemap_parse,
         # host link graph
         "host_link_edges": graph.host_link_edges,
@@ -1171,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY para_hash) AS keep FROM p"),
         "corpus_select": _corpus_select_sql(),
         "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
+        "warc_cdx": warc.warc_cdx_oracle_sql(),
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "stratified_sample": textops.stratified_sample_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

@@ -161,6 +161,11 @@ def parse_warc_bytes(buf: bytes, with_body: bool = False):
             "http_status": status,
             "content_len": len(body),
             "body_md5": hashlib.md5(body).hexdigest(),
+            # CDX fields: byte position of this record inside the
+            # shard — slicing buf[offset:offset+record_len] re-parses
+            # to exactly this record (random access without scanning)
+            "offset": start,
+            "record_len": block_end + 4 - start,
         }
         if with_body:
             rec["body"] = body
@@ -284,3 +289,60 @@ def warc_to_pages(shards: DataFrame,
                     "html",
                     F.lit(None).cast("string").alias("text"),
                     F.lit(None).cast("string").alias("lang")))
+
+
+WARC_CDX_SCHEMA = T.StructType([
+    T.StructField("file_id", T.LongType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("record_len", T.LongType()),
+    T.StructField("content_len", T.LongType()),
+])
+
+
+def warc_cdx(spark, sf_dir: str,
+             records_per_shard: int = RECORDS_PER_SHARD) -> DataFrame:
+    """Build a CDX-style random-access index over WARC shards —
+    Common Crawl's cc-index shape: (shard, url, byte offset, record
+    length), letting a consumer fetch ONE record with a ranged read
+    instead of scanning a 1-GB shard. One mapInPandas pass per shard;
+    the index rows are slim and the payload never leaves the task.
+
+    The DuckDB oracle states every offset in closed form from the
+    byte layout of build_record_raw (fixed header 213 B + url + the
+    digit-lengths of the two Content-Length values + the HTTP
+    envelope 77 B + body + 4 B terminator, cumulated over the shard's
+    doc_id order) — any drift in assembly OR parser offset math
+    mismatches."""
+    shards = docs_as_warc_shards(spark, sf_dir, records_per_shard)
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for fid, buf in zip(pdf["file_id"], pdf["payload"]):
+                for r in parse_warc_bytes(bytes(buf or b"")):
+                    rows.append({"file_id": int(fid), "url": r["url"],
+                                 "offset": r["offset"],
+                                 "record_len": r["record_len"],
+                                 "content_len": r["content_len"]})
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              WARC_CDX_SCHEMA.fields])
+
+    return shards.mapInPandas(work, WARC_CDX_SCHEMA)
+
+
+def warc_cdx_oracle_sql(records_per_shard: int = RECORDS_PER_SHARD) -> str:
+    return (
+        "WITH r AS (SELECT doc_id, "
+        f"doc_id // {records_per_shard} AS file_id, "
+        "'https://' || source || '.example.org/doc/' || doc_id AS url, "
+        "CAST(strlen(text) AS BIGINT) AS content_len, "
+        "77 + length(CAST(strlen(text) AS VARCHAR)) "
+        "+ strlen(text) AS http_len FROM documents), "
+        "l AS (SELECT *, CAST(213 + strlen(url) "
+        "+ length(CAST(http_len AS VARCHAR)) + http_len + 4 AS BIGINT) "
+        "AS record_len FROM r) "
+        "SELECT file_id, url, "
+        "CAST(sum(record_len) OVER (PARTITION BY file_id ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - record_len AS BIGINT) AS offset, "
+        "record_len, content_len FROM l")

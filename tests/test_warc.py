@@ -162,3 +162,21 @@ def test_streaming_shard_ingest_exactly_once(spark, tmp_path):
 
     # nothing new: drain is a no-op (exactly-once, no duplicates)
     assert drain() == all_urls
+
+
+def test_cdx_offsets_enable_random_access():
+    """Slicing a shard at (offset, record_len) re-parses to exactly
+    the indexed record — the CDX ranged-read contract."""
+    buf = warc.build_warc_bytes(DOCS)
+    recs = list(warc.parse_warc_bytes(buf))
+    assert recs[0]["offset"] == 0
+    for r in recs:
+        sliced = buf[r["offset"]:r["offset"] + r["record_len"]]
+        again = list(warc.parse_warc_bytes(sliced))
+        assert len(again) == 1
+        assert {k: again[0][k] for k in ("url", "body_md5")} == \
+            {k: r[k] for k in ("url", "body_md5")}
+    # offsets tile the shard exactly: no gaps, no overlaps
+    assert sorted(r["offset"] for r in recs) == \
+        [0] + sorted(r["offset"] + r["record_len"] for r in recs)[:-1]
+    assert max(r["offset"] + r["record_len"] for r in recs) == len(buf)
