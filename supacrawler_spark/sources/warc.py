@@ -157,15 +157,19 @@ def parse_warc_bytes(buf: bytes, with_body: bool = False):
         rec = {
             "url": headers.get(b"warc-target-uri", b"").decode(
                 "utf-8", "replace"),
-            "warc_date": headers.get(b"warc-date", b"").decode(),
+            "warc_date": headers.get(b"warc-date", b"").decode(
+                "utf-8", "replace"),
             "http_status": status,
             "content_len": len(body),
             "body_md5": hashlib.md5(body).hexdigest(),
             # CDX fields: byte position of this record inside the
             # shard — slicing buf[offset:offset+record_len] re-parses
-            # to exactly this record (random access without scanning)
+            # to exactly this record (random access without scanning).
+            # A final record whose content is complete but whose
+            # terminating blank line hit EOF is still valid (tolerant
+            # like real-world WARC readers): clamp the length.
             "offset": start,
-            "record_len": block_end + 4 - start,
+            "record_len": min(block_end + 4, n) - start,
         }
         if with_body:
             rec["body"] = body

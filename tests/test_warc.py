@@ -180,3 +180,42 @@ def test_cdx_offsets_enable_random_access():
     assert sorted(r["offset"] for r in recs) == \
         [0] + sorted(r["offset"] + r["record_len"] for r in recs)[:-1]
     assert max(r["offset"] + r["record_len"] for r in recs) == len(buf)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10**6), st.sampled_from(["a", "b"]),
+                  st.text(max_size=200)),
+        min_size=0, max_size=6),
+    cut=st.integers(0, 100),
+    flip_at=st.integers(0, 10**6),
+    flip_to=st.integers(0, 255),
+)
+def test_parser_never_raises_and_stays_consistent(docs, cut, flip_at,
+                                                  flip_to):
+    """Fuzz: under truncation + a byte flip anywhere, the parser (a)
+    never raises, (b) every yielded record is internally consistent
+    (content_len == len(body), md5 matches), and (c) offsets point at
+    a version line. Dedup doc_ids first (duplicate ids are legal WARC
+    but break the sorted-unique zip below)."""
+    seen, uniq = set(), []
+    for d, s, t in docs:
+        if d not in seen:
+            seen.add(d)
+            uniq.append((d, s, t))
+    buf = bytearray(warc.build_warc_bytes(uniq))
+    if buf and cut:
+        buf = buf[:-min(cut, len(buf))]
+    if buf:
+        buf[flip_at % len(buf)] = flip_to
+    recs = list(warc.parse_warc_bytes(bytes(buf), with_body=True))
+    for r in recs:
+        assert r["content_len"] == len(r["body"])
+        assert r["body_md5"] == hashlib.md5(r["body"]).hexdigest()
+        assert bytes(buf[r["offset"]:r["offset"] + 8]) == b"WARC/1.0"
+        assert r["offset"] + r["record_len"] <= len(buf)
