@@ -136,3 +136,31 @@ def test_decontam_overlap_broadcasts_benchmark(spark):
     plan = _plan(decontam_overlap(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_warc_scan_is_map_only(spark, tmp_path):
+    """Shard parse: binaryFile scan -> mapInPandas, zero Exchange —
+    records never shuffle; file-per-task parallelism is the unit."""
+    from supacrawler_spark.sources import warc
+
+    (tmp_path / "s.warc").write_bytes(
+        warc.build_record(1, "a", "x"))
+    shards = (spark.read.format("binaryFile")
+              .load(str(tmp_path) + "/*.warc"))
+    plan = _plan(warc.warc_scan(shards, payload_col="content"))
+    assert "Exchange" not in plan, plan
+
+
+def test_sitemap_parse_stage_is_native(spark):
+    """Urlset parsing is pure column expressions: no Python eval
+    operator anywhere in the parse plan (the regexp extraction runs
+    JVM-side inside codegen)."""
+    from supacrawler_spark.sources import sitemap
+
+    sm = spark.createDataFrame(
+        [("<urlset><url><loc>https://a.org/1</loc></url></urlset>",)],
+        "xml string")
+    plan = _plan(sitemap.parse_sitemap(sm))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
