@@ -716,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_select": textops.corpus_select,
         "top_terms": textops.top_terms,
         "stratified_sample": textops.stratified_sample,
+        "export_shards": textops.export_shards,
+        "source_stats": textops.source_stats,
         "recrawl_schedule": q_recrawl_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         # WARC container source (Common-Crawl-style shards)
@@ -1175,6 +1177,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx": warc.warc_cdx_oracle_sql(),
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "stratified_sample": textops.stratified_sample_oracle_sql(),
+        "export_shards": textops.export_shards_oracle_sql(),
+        "source_stats": textops.source_stats_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),
         "robots_sitemaps": (
             "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "

@@ -542,6 +542,77 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
                     (key == F.col("first_key")).alias("keep")))
 
 
+N_EXPORT_SHARDS = 16
+
+
+def export_shards(spark, sf_dir, n_shards: int = N_EXPORT_SHARDS
+                  ) -> DataFrame:
+    """Training-shard export manifest: assign every doc a
+    deterministic output shard (salted-md5 hash — uniform, stable
+    under corpus growth and task order) and emit per-shard accounting
+    plus a CONTENT DIGEST (md5 over the docs' md5s in doc_id order).
+    The digest is the reproducibility receipt: two exports of the
+    same corpus — different cluster, different partitioning — must
+    byte-match, which is how a 100-TB tokenizer-feed job proves its
+    output unchanged without re-reading it.
+
+    Scale shape: one hash shuffle on shard_id (uniform by
+    construction — no skew); the order-sensitive digest is computed
+    from sort_array over collected (doc_id, md5) structs, bounded per
+    shard (docs/shard ~ corpus/n_shards; pick n_shards so a shard's
+    hash list fits an executor — 64k shards at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+             % n_shards)
+    per = docs.select(
+        shard.alias("shard_id"), "doc_id",
+        F.md5("text").alias("doc_md5"),
+        F.length("text").alias("n_chars"))
+    return (per.groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("chars_sum"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("doc_id", "doc_md5"))),
+                     lambda s: s["doc_md5"]))).alias("digest")))
+
+
+def export_shards_oracle_sql(n_shards: int = N_EXPORT_SHARDS) -> str:
+    return (
+        "SELECT (('0x' || substring(md5('shard|' || doc_id), 1, 4))"
+        f"::INT % {n_shards}) AS shard_id, "
+        "count(*) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS chars_sum, "
+        "md5(string_agg(md5(text), '' ORDER BY doc_id)) AS digest "
+        "FROM documents GROUP BY 1")
+
+
+def source_stats(spark, sf_dir) -> DataFrame:
+    """Per-source corpus profile (the mixing-decision input): doc
+    count, char volume, exact-integer mean length (e3 grid), distinct
+    languages. One map-side-combinable shuffle; lang cardinality via
+    count_distinct (exact — the source×lang domain is bounded)."""
+    docs = _docs(spark, sf_dir)
+    return (docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("chars_sum"),
+                 F.countDistinct("lang").alias("n_langs"))
+            .withColumn("mean_chars_e3",
+                        F.expr("CAST((chars_sum * 1000) DIV n_docs "
+                               "AS BIGINT)")))
+
+
+def source_stats_oracle_sql() -> str:
+    return (
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS chars_sum, "
+        "count(DISTINCT lang) AS n_langs, "
+        "CAST((sum(length(text)) * 1000) // count(*) AS BIGINT) "
+        "AS mean_chars_e3 "
+        "FROM documents GROUP BY source")
+
+
 SPLIT_TRAIN_PCT = 80        # bucket < 80        -> train
 SPLIT_VAL_PCT = 90          # 80 <= bucket < 90  -> val; else test
 

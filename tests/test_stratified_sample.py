@@ -41,3 +41,32 @@ def test_map_only_plan(spark):
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_export_digest_partitioning_invariant(spark):
+    """The per-shard digest is a pure function of corpus content:
+    repartitioning the input (different task order) cannot change it."""
+    from pyspark.sql import functions as F
+
+    base = textops.export_shards(spark, SF).toPandas() \
+        .sort_values("shard_id").reset_index(drop=True)
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .repartition(17, "lang")
+    h = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    per = docs.select(
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+         % textops.N_EXPORT_SHARDS).alias("shard_id"),
+        "doc_id", F.md5("text").alias("doc_md5"),
+        F.length("text").alias("n_chars"))
+    again = (per.groupBy("shard_id")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("n_chars").alias("chars_sum"),
+                  F.md5(F.concat_ws("", F.transform(
+                      F.sort_array(F.collect_list(
+                          F.struct("doc_id", "doc_md5"))),
+                      lambda s: s["doc_md5"]))).alias("digest"))
+             ).toPandas().sort_values("shard_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, again)
+    # shards are usefully balanced (uniform hash): no empty shard at
+    # 500 docs / 16 shards
+    assert (base["n_docs"] > 0).all()
