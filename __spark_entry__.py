@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textops.stratified_sample,
         "export_shards": textops.export_shards,
         "source_stats": textops.source_stats,
+        "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         # WARC container source (Common-Crawl-style shards)
@@ -1179,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textops.stratified_sample_oracle_sql(),
         "export_shards": textops.export_shards_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
+        "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),
         "robots_sitemaps": (
             "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "

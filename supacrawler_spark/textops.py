@@ -613,6 +613,49 @@ def source_stats_oracle_sql() -> str:
         "FROM documents GROUP BY source")
 
 
+def length_percentiles(spark, sf_dir) -> DataFrame:
+    """Exact per-source doc-length quartiles — corpus profiling for
+    truncation/packing decisions. Percentile rule stated explicitly
+    (idx_q = (n-1)*q // 100 over the (length, doc_id)-sorted order)
+    instead of an engine's approximate or interpolating quantile, so
+    DuckDB and Spark agree bit-for-bit and the number means the same
+    thing at any scale.
+
+    Scale shape: one hash shuffle on source; the rank window sorts
+    within a source's partition only (never a global sort). A skewed
+    mega-source is the known limit — the two-phase approach in
+    operators/rank.py is the documented escalation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    l = _docs(spark, sf_dir).select(
+        "source", F.length("text").alias("len"), "doc_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"))
+
+    def pick(q):
+        return F.max(F.when(
+            F.col("rn") == F.expr(f"(n - 1) * {q} DIV 100"),
+            F.col("len"))).cast("bigint").alias(f"p{q}")
+
+    return (l.groupBy("source")
+            .agg(F.max("n").alias("n_docs"),
+                 pick(25), pick(50), pick(75)))
+
+
+def length_percentiles_oracle_sql() -> str:
+    picks = ", ".join(
+        f"CAST(max(CASE WHEN rn = (n - 1) * {q} // 100 THEN len END) "
+        f"AS BIGINT) AS p{q}" for q in (25, 50, 75))
+    return (
+        "WITH l AS (SELECT source, length(text) AS len, doc_id, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY length(text), doc_id) - 1 AS rn, "
+        "count(*) OVER (PARTITION BY source) AS n FROM documents) "
+        f"SELECT source, max(n) AS n_docs, {picks} FROM l "
+        "GROUP BY source")
+
+
 SPLIT_TRAIN_PCT = 80        # bucket < 80        -> train
 SPLIT_VAL_PCT = 90          # 80 <= bucket < 90  -> val; else test
 
