@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": textops.dup_clusters,
         "dedup_keep_best": textops.dedup_keep_best,
         "simhash": textops.simhash,
+        "simhash_near_dup": textops.simhash_near_dup,
         "repetition_stats": textops.repetition_stats,
         "decontam_overlap": textops.decontam_overlap,
         "pii_redact": textops.pii_redact,
@@ -718,6 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": textops.stratified_sample,
         "export_shards": textops.export_shards,
         "source_stats": textops.source_stats,
+        "vocab_stats": textops.vocab_stats,
+        "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
         "robots_sitemaps": q_robots_sitemaps,
@@ -863,6 +866,26 @@ def _simhash_sql(bits: int = 16) -> str:
         f"nibs AS (SELECT doc_id, {nib} FROM toks), "
         f"votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id) "
         f"SELECT doc_id, {fp} AS simhash FROM votes")
+
+
+def _simhash_near_dup_sql(bits: int = textops.SIMHASH_ND_BITS,
+                          bands: int = textops.SIMHASH_ND_BANDS,
+                          max_dist: int = textops.SIMHASH_ND_MAXDIST) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_vals = ",".join(f"({i})" for i in range(bands))
+    return (
+        f"WITH sig AS ({_simhash_sql(bits)}), "
+        f"keyed AS (SELECT doc_id, simhash, band, "
+        f"(simhash >> (band * {width})) & {mask} AS key "
+        f"FROM sig CROSS JOIN (VALUES {band_vals}) AS bb(band)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, "
+        "b.doc_id AS doc_id_b, a.simhash AS sa, b.simhash AS sb "
+        "FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT doc_id_a, doc_id_b, "
+        "CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_dist}")
 
 
 def _cosine_sql(ann: bool) -> str:
@@ -1180,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textops.stratified_sample_oracle_sql(),
         "export_shards": textops.export_shards_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
+        "vocab_stats": textops.vocab_stats_oracle_sql(),
+        "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),
         "robots_sitemaps": (
@@ -1426,6 +1451,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
         "simhash": _simhash_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
         "media_metadata": (
             "SELECT doc_id, "
             "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "

@@ -183,6 +183,7 @@ def main() -> int:
         bench_q("pricing_summary", E.q_pricing_summary)
         bench_q("minhash_lsh_pairs", textops.minhash_lsh_pairs)
         bench_q("simhash", textops.simhash)
+        bench_q("simhash_near_dup", textops.simhash_near_dup)
         bench_q("quality_score", textops.quality_score)
         bench_q("dup_clusters", textops.dup_clusters)
         bench_q("decontam_overlap", textops.decontam_overlap)

@@ -33,6 +33,9 @@ LANG_STOPWORDS = {
 }
 MINHASH_PERMS = 8
 LSH_BANDS = 4  # 2 rows per band
+SIMHASH_ND_BITS = 48   # near-dup fingerprint width (4 x 12-bit bands)
+SIMHASH_ND_BANDS = 4
+SIMHASH_ND_MAXDIST = 3  # pigeonhole: dist<=3 => >=1 of 4 bands identical
 
 
 def _docs(spark, sf_dir):
@@ -257,12 +260,13 @@ def lsh_verified_pairs(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
             .select("doc_a", "doc_b", "n_inter", "jaccard"))
 
 
-def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
-    """SimHash: per token, bit b of md5(token) votes +1/-1; the
-    fingerprint bit is the sign of the vote sum. Bits come from the
-    first 4 hex chars (16 bits) — cross-engine exact. One explode +
-    one groupBy with partial agg."""
-    toks = _tokens(_docs(spark, sf_dir))
+def _simhash_df(docs: DataFrame, bits: int) -> DataFrame:
+    """SimHash core over a docs frame: per token, bit b of md5(token)
+    votes +1/-1; fingerprint bit = sign of the vote sum. Bits come
+    from the first ``bits/4`` hex chars — cross-engine exact. One
+    explode + one groupBy with partial (map-side) agg; bits must be
+    < 63 so the fingerprint stays a non-negative BIGINT."""
+    toks = _tokens(docs)
     hx = F.md5("tok")
     nib = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(
         f"n{i}") for i in range(bits // 4)]
@@ -279,6 +283,56 @@ def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
                       F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else (fp + term)
     return v.select("doc_id", fp.alias("simhash"))
+
+
+def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
+    """16-bit SimHash fingerprint per document (driver-contract query;
+    see _simhash_df for the kernel)."""
+    return _simhash_df(_docs(spark, sf_dir), bits)
+
+
+def simhash_near_dup(spark, sf_dir, bits: int = SIMHASH_ND_BITS,
+                     bands: int = SIMHASH_ND_BANDS,
+                     max_dist: int = SIMHASH_ND_MAXDIST) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming LSH, no all-pairs.
+
+    Scale shape (the 100-TB path): a 48-bit fingerprint is split into
+    4 contiguous 12-bit bands; by pigeonhole, any pair within Hamming
+    distance 3 agrees exactly on >= 1 band, so candidates are an
+    EQUI-join on (band, key) — the corpus is never self-crossed — and
+    the exact popcount check runs only on candidates. 12-bit keys give
+    ~1/4096 random band collision, so candidate volume stays ~n²/4096
+    per band even on adversarial corpora; at larger n, raise ``bits``
+    (64-bit simhash, 4x16-bit bands) without changing the plan shape.
+
+    Analog of the reference's duplicate-page suppression (parity:
+    internal/core/crawl/service.go processed-set semantics; near-dup
+    is the training-pipeline extension). Output:
+    (doc_id_a, doc_id_b, hamming) with doc_id_a < doc_id_b.
+    """
+    width = bits // bands
+    sig = _simhash_df(_docs(spark, sf_dir), bits)
+    keyed = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+            for i in range(bands)])).alias("bk")) \
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (cand.select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_dist))
 
 
 # ---------------------------------------------------------------------------
@@ -418,14 +472,19 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
                 .alias("top_bigram_frac")))
 
 
+def _gram_arr(w, n: int):
+    """Array of word n-grams over a token-array column (rows with
+    fewer than n tokens must be filtered out by the caller)."""
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(w, i + k) for k in range(n)]))
+
+
 def _ngrams(docs, n: int):
     """Word n-gram explode, generic-n variant of shingles()."""
     w = F.split("text", " ")
     docs = docs.filter(F.size(F.split("text", " ")) >= n)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    gram = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(w, i + k) for k in range(n)]))
-    return docs.select("doc_id", F.explode(gram).alias("gram"))
+    return docs.select("doc_id", F.explode(_gram_arr(w, n)).alias("gram"))
 
 
 def decontam_overlap(spark, sf_dir, n: int = 4,
@@ -611,6 +670,99 @@ def source_stats_oracle_sql() -> str:
         "CAST((sum(length(text)) * 1000) // count(*) AS BIGINT) "
         "AS mean_chars_e3 "
         "FROM documents GROUP BY source")
+
+
+def vocab_stats(spark, sf_dir) -> DataFrame:
+    """Heaps-law vocabulary profile per source: distinct-token count
+    (vocab_size), total token count, hapax count (tokens seen exactly
+    once in the source) and the type/token ratio. Corpus curation uses
+    these to spot template-generated or OCR-garbage sources (vocab
+    too small / hapax rate too high for the token mass).
+
+    Scale shape: one explode + groupBy(source, tok) with map-side
+    partial agg (the big shuffle keys on (source, token) — uniform),
+    then a tiny groupBy(source). All counts are exact integers; the
+    ratio is one IEEE division of those integers, so the row is
+    bit-identical cross-engine."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    per_tok = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return (per_tok.groupBy("source")
+            .agg(F.count("*").alias("vocab_size"),
+                 F.sum("c").alias("total_tokens"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .alias("hapax_count"))
+            .select("source", "vocab_size", "total_tokens", "hapax_count",
+                    (F.col("vocab_size") / F.col("total_tokens"))
+                    .alias("type_token_ratio")))
+
+
+def vocab_stats_oracle_sql() -> str:
+    return (
+        "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "pt AS (SELECT source, tok, count(*) AS c FROM toks "
+        "GROUP BY source, tok) "
+        "SELECT source, count(*) AS vocab_size, "
+        "CAST(sum(c) AS BIGINT) AS total_tokens, "
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS hapax_count, "
+        "count(*) / CAST(sum(c) AS BIGINT) AS type_token_ratio "
+        "FROM pt GROUP BY source")
+
+
+def source_ngram_overlap(spark, sf_dir, n: int = 4) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word n-grams they share and the Jaccard overlap of
+    their n-gram sets. Train/eval splits drawn from different sources
+    silently leak when two sources republish the same pages — this is
+    the source-level analog of decontam_overlap's doc-level check.
+
+    Scale shape: distinct (source, md5(gram)) per source (explode +
+    partial-agg distinct), a self EQUI-join keyed on the 32-byte gram
+    hash (source_a < source_b — never a cross join; collision load per
+    gram is bounded by the source count, not the corpus), then a tiny
+    groupBy over source pairs joined against per-source set sizes."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= n)
+    grams = (docs.select(
+        "source", F.explode(_gram_arr(F.split("text", " "), n)).alias("gram"))
+        .select("source", F.md5("gram").alias("gh"))
+        .distinct())
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                     & (F.col("a.source") < F.col("b.source")))
+              .groupBy(F.col("a.source").alias("source_a"),
+                       F.col("b.source").alias("source_b"))
+              .agg(F.count("*").alias("n_shared")))
+    return (shared
+            .join(sizes.select(F.col("source").alias("source_a"),
+                               F.col("n").alias("n_a")), "source_a")
+            .join(sizes.select(F.col("source").alias("source_b"),
+                               F.col("n").alias("n_b")), "source_b")
+            .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                    (F.col("n_shared")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+                    .alias("jaccard")))
+
+
+def source_ngram_overlap_oracle_sql(n: int = 4) -> str:
+    gram = (" || ' ' || ".join(f"w[i+{k}]" for k in range(n))
+            .replace("w[i+0]", "w[i]"))
+    return (
+        f"WITH g AS (SELECT DISTINCT source, md5(unnest(list_transform("
+        f"range(1, len(w) - {n - 2}), i -> {gram}))) AS gh "
+        "FROM (SELECT source, string_split(text, ' ') AS w FROM documents "
+        f"WHERE len(string_split(text, ' ')) >= {n})), "
+        "sizes AS (SELECT source, count(*) AS n FROM g GROUP BY source), "
+        "shared AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "count(*) AS n_shared FROM g a JOIN g b ON a.gh = b.gh "
+        "AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b, "
+        "n_shared / (sa.n + sb.n - n_shared) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.source = source_a "
+        "JOIN sizes sb ON sb.source = source_b")
 
 
 def length_percentiles(spark, sf_dir) -> DataFrame:
