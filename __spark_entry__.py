@@ -578,6 +578,41 @@ def q_stream_first_seen(spark, sf_dir):
             .select("url"))
 
 
+def q_stream_host_budget(spark, sf_dir):
+    """§2.9 stateful politeness as a driver query: a multi-batch
+    parquet-source stream of fetch candidates drains through the
+    per-host quota operator (streaming.stream_host_budget — cumulative
+    admitted count per host in state). Per-host admitted/deferred
+    COUNTS are invariant to micro-batch partitioning — min(cap, n) —
+    so the aggregate is the deterministic surface and the DuckDB twin
+    is closed-form over the same event table."""
+    import tempfile
+
+    from supacrawler_spark.streaming import stream_host_budget
+
+    cap = 7
+    events = _t(spark, sf_dir, "documents").selectExpr(
+        "'h' || CAST(doc_id % 53 AS STRING) AS host",
+        "'https://h' || CAST(doc_id % 53 AS STRING)"
+        " || '.example.org/p' || CAST(doc_id AS STRING) AS url")
+    base = tempfile.mkdtemp(prefix="stream_budget_")
+    src = os.path.join(base, "events")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("host string, url string")
+              .option("maxFilesPerTrigger", "2").parquet(src))
+    out = os.path.join(base, "out")
+    q = (stream_host_budget(stream, cap=cap).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    decided = spark.read.schema(
+        "host string, url string, admitted boolean").parquet(out)
+    return (decided.groupBy("host")
+            .agg(F.sum(F.col("admitted").cast("long")).alias("n_admitted"),
+                 F.sum((~F.col("admitted")).cast("long")).alias("n_deferred")))
+
+
 def q_cloudflare_detect(spark, sf_dir):
     """F8: the Cloudflare-challenge predicate over synthetic scrape
     responses — native contains algebra, no UDF, map-only."""
@@ -762,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_robots": q_parse_robots,
         # streaming (stateful first-seen; batch-projection oracle)
         "stream_first_seen": q_stream_first_seen,
+        "stream_host_budget": q_stream_host_budget,
     }
 
 
@@ -1630,4 +1666,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT 'https://s' || CAST(doc_id % 211 AS VARCHAR)"
             " || '.example.org/p' || CAST(doc_id % 211 AS VARCHAR) AS url"
             " FROM documents"),
+        "stream_host_budget": (
+            "SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) AS host, "
+            "CAST(LEAST(7, count(*)) AS BIGINT) AS n_admitted, "
+            "CAST(count(*) - LEAST(7, count(*)) AS BIGINT) AS n_deferred "
+            "FROM documents GROUP BY 1"),
     }

@@ -18,6 +18,10 @@ micro-batch. Consumers get:
                           — the streaming realization of the crawl's
                           seen anti-join (J2), state surviving across
                           triggers via the checkpoint
+- ``stream_host_budget``  per-host fetch-quota gate (stateful twin of
+                          the politeness budget, J4/A6): cumulative
+                          admitted count per host in state, rows
+                          emitted with an admitted/deferred flag
 
 All sinks are driven with ``trigger(availableNow=True)`` in tests —
 the same code attaches to a live crawl for continuous consumption.
@@ -29,6 +33,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from supacrawler_spark.schemas import RESULT_SCHEMA
 
@@ -124,6 +129,54 @@ def stream_first_seen(stream_df: DataFrame, n_buckets: int = 32,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return out
+
+
+def stream_host_budget(stream_df: DataFrame, cap: int,
+                       host_col: str = "host") -> DataFrame:
+    """Per-host fetch-quota enforcement as a custom stateful streaming
+    operator (applyInPandasWithState keyed on host).
+
+    The continuous twin of the politeness budget gate (J4/A6,
+    operators/frontier.politeness_select; reference: colly's
+    per-domain limit rule and the ≤10/host parallelism cap,
+    crawl/service.go:140-209): each host carries a cumulative admitted
+    count in state; a row is admitted while the host's count < cap and
+    deferred after, emitted with an ``admitted`` flag rather than
+    dropped so downstream can re-queue. State is one BIGINT per host
+    (the degenerate-but-correct politeness state at 10^10-URL scale:
+    state size is O(hosts), not O(urls)) and survives restarts via the
+    checkpoint.
+
+    Per-host admitted COUNTS are deterministic under any micro-batch
+    partitioning (min(cap, n_host)); WHICH rows are admitted follows
+    arrival order within the stream, deterministic when the source
+    delivers host rows in order (one file per batch in tests)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = StructType(stream_df.schema.fields
+                            + [StructField("admitted", BooleanType())])
+    state_schema = "used long"
+
+    def gate(key, pdfs, state: "GroupState"):
+        used = int(state.get[0]) if state.exists else 0
+        for pdf in pdfs:
+            n = len(pdf)
+            take = max(0, min(cap - used, n))
+            out = pdf.copy()
+            out["admitted"] = [i < take for i in range(n)]
+            used += take
+            yield out
+        state.update((used,))
+
+    return stream_df.groupBy(host_col).applyInPandasWithState(
+        gate,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
 
 
 def run_available_now(stream_df: DataFrame, checkpoint: str,

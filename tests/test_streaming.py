@@ -92,3 +92,60 @@ def test_stream_first_seen_stateful_across_restarts(spark, tmp_path):
            if r.url not in {g.url for g in got1}]
     assert new == [("u4", 4)]
     assert len(got2) == len(got1) + 1
+
+
+def test_stream_host_budget_quota_and_restart(spark, tmp_path):
+    """Per-host quota gate: admitted counts are exactly min(cap, n) per
+    host; arrival order decides WHICH rows pass when batches arrive one
+    file at a time; the cumulative used-count state survives a query
+    restart via the checkpoint (rows after restart are deferred once
+    the quota filled before it)."""
+    import os
+
+    from supacrawler_spark.streaming import stream_host_budget
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    schema = "host string, url string"
+    out_schema = schema + ", admitted boolean"
+
+    def emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+    def drain():
+        q = (stream_host_budget(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(src),
+                cap=2)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.schema(out_schema).parquet(out).collect()
+
+    emit([("a", "a1"), ("a", "a2"), ("b", "b1")])
+    got1 = drain()
+    by_url = {r.url: r.admitted for r in got1}
+    assert by_url == {"a1": True, "a2": True, "b1": True}
+
+    # second drop: host a is at quota -> everything deferred; host b
+    # admits exactly one more; host c is fresh
+    emit([("a", "a3"), ("b", "b2"), ("b", "b3"), ("c", "c1")])
+    got2 = drain()
+    by_url = {r.url: r.admitted for r in got2}
+    assert by_url["a3"] is False
+    assert by_url["c1"] is True
+    assert [by_url["b2"], by_url["b3"]] == [True, False]
+
+    # per-host totals: min(cap, n) admitted regardless of batching
+    from collections import Counter
+
+    admitted = Counter(r.host for r in got2 if r.admitted)
+    totals = Counter(r.host for r in got2)
+    for h in totals:
+        assert admitted[h] == min(2, totals[h])
