@@ -1508,7 +1508,7 @@ def oracle_sql() -> dict[str, str]:
             "(d.doc_id + 3*((tx.x * (16 + d.doc_id % 48)) // 8) "
             " + 5*((ty.y * (16 + (d.doc_id * 7) % 48)) // 8)) % 251 AS v "
             "FROM documents d, range(8) tx(x), range(8) ty(y)) "
-            "SELECT doc_id, 'png' AS format, CAST(8 AS INT) AS width, "
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'png' END AS format, CAST(8 AS INT) AS width, "
             "CAST(8 AS INT) AS height, CAST(min(v) AS INT) AS px_min, "
             "CAST(max(v) AS INT) AS px_max FROM px GROUP BY doc_id"),
         "media_features": (
@@ -1518,7 +1518,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d, range(64) tx(x), range(64) ty(y) "
             "WHERE tx.x < (16 + d.doc_id % 48) "
             "AND ty.y < (16 + (d.doc_id * 7) % 48)) "
-            "SELECT doc_id, 'png' AS format, CAST(w AS INT) AS width, "
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 1 THEN 'gif' ELSE 'png' END AS format, CAST(w AS INT) AS width, "
             "CAST(h AS INT) AS height, CAST(w * h AS INT) AS n_px, "
             "CAST(sum(v) AS BIGINT) AS px_sum, "
             "CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max "

@@ -8,10 +8,11 @@ JPEG bytes + format/width/height metadata).
 ``decode_image`` is a real, dependency-free container parser: it reads
 width/height/format from PNG (IHDR), GIF (screen descriptor), JPEG
 (SOF segment walk) and BMP (DIB header) bytes — no image libraries
-needed. Pixel-level work (resize, feature extraction) would plug in
-Pillow/libvips on a real deployment and remains out of container
-scope; ``fake_decode_meta`` is kept as the deterministic stand-in for
-payloads that are not images.
+needed. Pixel-level work (resize, feature extraction) is REAL for
+PNG-gray8 (full unfiltering), BMP24 (luma) and GIF (full LZW entropy
+decode); JPEG pixel decode is the one documented seam where a real
+deployment plugs Pillow/libvips. ``fake_decode_meta`` is kept as the
+deterministic stand-in for payloads that are not images.
 
 At scale: binary payloads never shuffle — metadata extraction happens
 in the scan stage (mapInPandas over the reading partitions), and only
@@ -120,7 +121,8 @@ def image_dims(doc_id: int) -> "tuple[int, int]":
 def synth_image(doc_id: int) -> "tuple[bytes, str]":
     """A real minimal image for doc_id: PNG / GIF / JPEG round-robin,
     dimensions from image_dims. The PNG is fully valid (zlib IDAT,
-    correct CRCs); GIF and JPEG are header-complete containers with
+    correct CRCs); the GIF is fully valid (real LZW pixel stream,
+    solid doc_id % 251); JPEG is a header-complete container with
     minimal body segments — enough for any header parser."""
     w, h = image_dims(doc_id)
     fmt = doc_id % 3
@@ -135,12 +137,8 @@ def synth_image(doc_id: int) -> "tuple[bytes, str]":
                 + chunk(b"IDAT", zlib.compress(raw, 6))
                 + chunk(b"IEND", b"")), "png"
     if fmt == 1:
-        gct = bytes([0, 0, 0, 255, 255, 255])   # 2-color table
-        screen = struct.pack("<HH", w, h) + b"\x80\x00\x00"
-        img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-        # minimal LZW stream: min code size 2, one clear+end block
-        lzw = b"\x02\x02\x44\x01\x00"
-        return b"GIF87a" + screen + gct + img_desc + lzw + b"\x3b", "gif"
+        # real pixel data (solid doc_id % 251, the PNG branch's rule)
+        return encode_gif_gray(w, h, bytes([doc_id % 251] * (w * h))), "gif"
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" \
@@ -150,8 +148,8 @@ def synth_image(doc_id: int) -> "tuple[bytes, str]":
 
 
 # ---------------------------------------------------------------------------
-# pixel decode / resize / feature-extract (real for PNG-gray8 + BMP24;
-# the codec-library seam raises NotImplementedError for JPEG/GIF)
+# pixel decode / resize / feature-extract (real for PNG-gray8, BMP24
+# and GIF; the codec-library seam raises NotImplementedError for JPEG)
 # ---------------------------------------------------------------------------
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -275,11 +273,176 @@ def decode_bmp_gray(b: bytes) -> "tuple[int, int, bytes]":
     return w, h, bytes(out)
 
 
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """General GIF-flavor LZW decoder: LSB-first variable-width codes,
+    clear/end handling, KwKwK case, 12-bit table cap with deferred
+    clear (a full table stops growing until the next clear code, per
+    the GIF89a spec appendix)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                next_code = end + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                if code not in table:
+                    raise ValueError("gif: bad first lzw code")
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("gif: lzw code out of range")
+                if next_code <= 0xFFF:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+            out += entry
+            prev = entry
+    raise ValueError("gif: lzw stream ended without end code")
+
+
+def _lzw_encode_literals(pix: bytes, min_code_size: int = 8) -> bytes:
+    """LZW encoder emitting only literal (root) codes, mirroring the
+    decoder's table-growth/width rules exactly — every output stream
+    is spec-valid for ANY conforming GIF decoder (the 'uncompressed
+    GIF' technique); clears before the 12-bit table fills."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    next_code = end + 1
+    grew = False     # the decoder adds no entry for the 1st post-clear code
+    for b in pix:
+        emit(b)
+        if not grew:
+            grew = True
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if next_code == 0xFFF:
+                emit(clear)
+                width = min_code_size + 1
+                next_code = end + 1
+                grew = False
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_gray(w: int, h: int, pix: bytes) -> bytes:
+    """Minimal GIF87a encoder: 256-entry grayscale global color table
+    (palette index == gray value, so luma round-trips exactly),
+    literal-code LZW pixel stream in 255-byte sub-blocks."""
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    screen = struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = _lzw_encode_literals(pix, 8)
+    blocks = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                      for i in range(0, len(lzw), 255)) + b"\x00"
+    return (b"GIF87a" + screen + gct + img_desc + bytes([8]) + blocks
+            + b"\x3b")
+
+
+def decode_gif_gray(b: bytes) -> "tuple[int, int, bytes]":
+    """REAL dependency-free GIF decoder (first image frame): header +
+    global/local color table walk, extension-block skip, full LZW
+    entropy decode, palette lookup -> integer luma
+    (r*299+g*587+b*114)//1000 (the BMP24 rule). Interlaced images
+    raise at the documented seam; truncated payloads raise
+    ValueError/IndexError (caught per-row by the media operators)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    flags = b[10]
+    i = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = b[i:i + 3 * n]
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:          # extension: introducer+label+sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:        # image descriptor
+            lw, lh = struct.unpack("<HH", b[i + 5:i + 9])
+            lflags = b[i + 9]
+            i += 10
+            if lflags & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF decode; plug an image library")
+            if lflags & 0x80:    # local color table wins
+                n = 2 << (lflags & 7)
+                palette = b[i:i + 3 * n]
+                i += 3 * n
+            if palette is None:
+                raise ValueError("gif: no color table")
+            mcs = b[i]
+            i += 1
+            data = bytearray()
+            while b[i] != 0:
+                ln = b[i]
+                data += b[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(mcs, bytes(data))
+            if len(idx) < lw * lh:
+                raise ValueError("gif: short pixel data")
+            out = bytearray(lw * lh)
+            for j in range(lw * lh):
+                p = idx[j] * 3
+                r, g, bl = palette[p:p + 3]
+                out[j] = (r * 299 + g * 587 + bl * 114) // 1000
+            return lw, lh, bytes(out)
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"gif: unknown block 0x{blk:02x}")
+    raise ValueError("gif: no image data")
+
+
 def decode_pixels(payload: bytes) -> dict:
-    """Pixel-level decode to grayscale. REAL for PNG-gray8 and BMP24
-    (the containers this repo's fixtures emit); raises
-    NotImplementedError for JPEG/GIF entropy decoding — the clearly
-    marked seam where a real deployment plugs Pillow/libvips."""
+    """Pixel-level decode to grayscale. REAL for PNG-gray8, BMP24 and
+    GIF (full LZW entropy decode); raises NotImplementedError for
+    JPEG — the clearly marked seam where a real deployment plugs
+    Pillow/libvips (JPEG needs Huffman+DCT, a genuine codec library's
+    job)."""
     b = bytes(payload or b"")
     if b.startswith(_PNG_SIG):
         w, h, pix = decode_png_gray(b)
@@ -287,9 +450,12 @@ def decode_pixels(payload: bytes) -> dict:
     if b[:2] == b"BM":
         w, h, pix = decode_bmp_gray(b)
         return {"format": "bmp", "width": w, "height": h, "pix": pix}
-    if b[:2] == b"\xff\xd8" or b[:6] in (b"GIF87a", b"GIF89a"):
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, pix = decode_gif_gray(b)
+        return {"format": "gif", "width": w, "height": h, "pix": pix}
+    if b[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "JPEG/GIF pixel decode requires an image codec library")
+            "JPEG pixel decode requires an image codec library")
     raise ValueError("unrecognized image container")
 
 
@@ -551,10 +717,14 @@ def frame_sample(df: DataFrame, every: int = 2,
 
 
 def docs_as_gradient_media(spark, sf_dir) -> DataFrame:
-    """Fixture: a gradient PNG per document — pixel (x,y) =
-    (doc_id + 3x + 5y) % 251, dims from image_dims, scanline filters
-    cycling None/Sub/Up so the decoder's unfiltering is genuinely
-    exercised. Every pixel is a-priori computable by the SQL oracle."""
+    """Fixture: a gradient image per document — pixel (x,y) =
+    (doc_id + 3x + 5y) % 251, dims from image_dims. Containers
+    round-robin PNG (scanline filters cycling None/Sub/Up so the
+    unfiltering is genuinely exercised) and GIF (full LZW entropy
+    decode exercised; gray palette, so luma recovers the index
+    exactly). Every pixel is a-priori computable by the SQL oracle —
+    the oracle is container-agnostic, so a codec bug in EITHER path
+    fails the hash."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def gen(batches):
@@ -565,8 +735,11 @@ def docs_as_gradient_media(spark, sf_dir) -> DataFrame:
                 w, h = image_dims(i)
                 pix = bytes((i + 3 * x + 5 * y) % 251
                             for y in range(h) for x in range(w))
-                payloads.append(encode_png_gray(w, h, pix,
-                                                filters=[0, 1, 2]))
+                if i % 3 == 1:
+                    payloads.append(encode_gif_gray(w, h, pix))
+                else:
+                    payloads.append(encode_png_gray(w, h, pix,
+                                                    filters=[0, 1, 2]))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     schema = T.StructType([T.StructField("doc_id", T.LongType()),

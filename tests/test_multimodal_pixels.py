@@ -131,3 +131,81 @@ def test_wav_odd_chunk_alignment():
     patched = base[:12] + junk + base[12:]
     patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
     assert M.decode_wav(patched) == M.decode_wav(base)
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (3, 2), (16, 16), (63, 63),
+                                  (80, 70)])
+def test_gif_lzw_roundtrip(dims):
+    """encode_gif_gray -> decode_gif_gray recovers every pixel exactly.
+    63x63 and 80x70 push the LZW code width through 9->10->11->12 bits
+    and (80x70=5600 px) across the 12-bit table clear, so the decoder's
+    width-growth and clear-reset rules are genuinely exercised."""
+    w, h = dims
+    pix = bytes((7 + 3 * x + 5 * y) % 251 for y in range(h)
+                for x in range(w))
+    gw, gh, got = M.decode_gif_gray(M.encode_gif_gray(w, h, pix))
+    assert (gw, gh) == (w, h)
+    assert got == pix
+
+
+def test_gif_synth_image_decodes_solid():
+    payload, fmt = M.synth_image(1)   # doc 1 -> gif
+    assert fmt == "gif"
+    w, h = M.image_dims(1)
+    d = M.decode_pixels(payload)
+    assert (d["format"], d["width"], d["height"]) == ("gif", w, h)
+    assert set(d["pix"]) == {1 % 251}
+
+
+def test_gif_truncated_and_interlaced_raise():
+    full = M.encode_gif_gray(8, 8, bytes(range(64)))
+    with pytest.raises((ValueError, IndexError)):
+        M.decode_gif_gray(full[:30])          # cut inside the GCT
+    with pytest.raises((ValueError, IndexError)):
+        M.decode_gif_gray(full[:-10])         # cut inside the LZW data
+    # flip the interlace bit in the image descriptor (fixed offset:
+    # 13-byte header/screen + 768-byte GCT; 0x2c also occurs as a
+    # palette byte, so searching for it would hit the GCT)
+    idx = 13 + 768
+    assert full[idx] == 0x2C
+    corrupted = bytearray(full)
+    corrupted[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        M.decode_gif_gray(bytes(corrupted))
+
+
+def test_gif_deferred_clear_stream_decodes():
+    """A conforming stream that FILLS the 12-bit table and keeps
+    emitting without a clear (deferred clear) must still decode: build
+    it by patching our encoder's clear threshold past the cap."""
+    pix = bytes((11 * i) % 251 for i in range(6000))
+    # literal codes only, but never emit the mid-stream clear
+    clear, end = 256, 257
+    out = bytearray()
+    acc = bits = 0
+    width = 9
+
+    def emit(code, w):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear, width)
+    next_code = end + 1
+    grew = False
+    for b in pix:
+        emit(b, width)
+        if not grew:
+            grew = True
+        elif next_code <= 0xFFF:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    emit(end, width)
+    if bits:
+        out.append(acc & 0xFF)
+    assert M._lzw_decode(8, bytes(out)) == pix
