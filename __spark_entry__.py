@@ -742,6 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": textops.ngram_jaccard_pairs,
         "lsh_verified_pairs": textops.lsh_verified_pairs,
         "dup_clusters": textops.dup_clusters,
+        "simhash_clusters": textops.simhash_clusters,
+        "multi_signal_clusters": textops.multi_signal_clusters,
         "dedup_keep_best": textops.dedup_keep_best,
         "simhash": textops.simhash,
         "simhash_near_dup": textops.simhash_near_dup,
@@ -874,6 +876,34 @@ def _dup_clusters_sql_cte() -> str:
         "UNION SELECT e.src AS id, cc.lbl FROM edges e "
         "JOIN cc ON cc.id = e.dst), "
         "lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id)")
+
+
+_CC_CLUSTERS_SQL = (
+    ", cc AS (SELECT src AS id, src AS lbl FROM edges "
+    "UNION SELECT e.src AS id, cc.lbl FROM edges e "
+    "JOIN cc ON cc.id = e.dst), "
+    "lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id) "
+    "SELECT id AS doc_id, cluster_id, "
+    "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab")
+
+
+def _simhash_clusters_sql() -> str:
+    return (
+        f"WITH RECURSIVE nd AS ({_simhash_near_dup_sql()}), "
+        "edges AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM nd "
+        "UNION ALL SELECT doc_id_b AS src, doc_id_a AS dst FROM nd)"
+        + _CC_CLUSTERS_SQL)
+
+
+def _multi_signal_clusters_sql() -> str:
+    return (
+        _verified_pairs_sql_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", nd AS ({_simhash_near_dup_sql()}), "
+        "pe AS (SELECT doc_a AS src, doc_b AS dst FROM vp "
+        "UNION SELECT doc_id_a AS src, doc_id_b AS dst FROM nd), "
+        "edges AS (SELECT src, dst FROM pe "
+        "UNION ALL SELECT dst AS src, src AS dst FROM pe)"
+        + _CC_CLUSTERS_SQL)
 
 
 def _lang_scores_sql() -> str:
@@ -1488,6 +1518,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8"),
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
+        "simhash_clusters": _simhash_clusters_sql(),
+        "multi_signal_clusters": _multi_signal_clusters_sql(),
         "media_metadata": (
             "SELECT doc_id, "
             "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "

@@ -396,17 +396,54 @@ def dup_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     not duplicates and are omitted (they would be size-1 clusters of
     themselves). The size is a window count over cluster_id — the
     same single hash shuffle a groupBy+join would cost."""
-    pairs = lsh_verified_pairs(spark, sf_dir, threshold)
-    # localCheckpoint: the symmetrizing union in connected_components
-    # reads its input twice — checkpoint so the LSH pipeline runs once
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst")).localCheckpoint()
-    cc = connected_components(edges)
+    # localCheckpoint (in _clusters_from_edges): the symmetrizing union
+    # in connected_components reads its input twice — checkpoint so the
+    # LSH pipeline runs once
+    return _clusters_from_edges(
+        _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
+                       "doc_a", "doc_b"))
+
+
+def _cluster_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    return pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+
+
+def _clusters_from_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst) near-dup edges -> (doc_id, cluster_id, cluster_size)
+    via connected components; cluster_id = min doc_id. Docs in no pair
+    are omitted (size-1 clusters of themselves), like dup_clusters."""
+    cc = connected_components(edges.localCheckpoint())
     w = Window.partitionBy("component")
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"))
+
+
+def simhash_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup clustering over the SimHash banded-Hamming pairs — the
+    SimHash twin of dup_clusters (which clusters MinHash+Jaccard
+    pairs). Same scale shape: banded equi-join pair generation, then
+    iterative min-label propagation whose per-iteration cost is one
+    join + one partial agg on the (tiny) edge set."""
+    return _clusters_from_edges(
+        _cluster_edges(simhash_near_dup(spark, sf_dir),
+                       "doc_id_a", "doc_id_b"))
+
+
+def multi_signal_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """Multi-signal dedup: the OR-combination real pipelines run —
+    a doc pair is near-dup if EITHER the MinHash->Jaccard-verified
+    check (lexical overlap) OR the SimHash banded-Hamming check
+    (distributional similarity) fires; clusters are connected
+    components of the union edge set. Each signal keeps its own
+    banded no-all-pairs candidate generation; the union is a cheap
+    distinct over two tiny pair sets."""
+    mh = _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
+                        "doc_a", "doc_b")
+    sh = _cluster_edges(simhash_near_dup(spark, sf_dir),
+                        "doc_id_a", "doc_id_b")
+    return _clusters_from_edges(mh.union(sh).distinct())
 
 
 def dedup_keep_best(spark, sf_dir, threshold: float = 0.8) -> DataFrame:

@@ -164,3 +164,23 @@ def test_connected_components_random_graphs(spark):
         pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
         got = _cc(spark, pairs)
         assert got == _py_components(pairs), (trial, pairs)
+
+
+def test_multi_signal_clusters_subsume_each_signal(spark):
+    """OR-combination invariants: every doc clustered by either signal
+    is clustered by multi_signal_clusters, and any two docs sharing a
+    cluster under one signal still share one under the union (merging
+    can only coarsen, never split)."""
+    mh = {r["doc_id"]: r["cluster_id"]
+          for r in textops.dup_clusters(spark, SF_DIR).collect()}
+    sh = {r["doc_id"]: r["cluster_id"]
+          for r in textops.simhash_clusters(spark, SF_DIR).collect()}
+    ms = {r["doc_id"]: r["cluster_id"]
+          for r in textops.multi_signal_clusters(spark, SF_DIR).collect()}
+    assert set(mh) | set(sh) == set(ms)
+    for part in (mh, sh):
+        docs = sorted(part)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                if part[a] == part[b]:
+                    assert ms[a] == ms[b], (a, b)
