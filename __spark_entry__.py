@@ -778,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "cosine_near_dup": simsearch.cosine_near_dup,
+        "label_pair_distances": simsearch.label_pair_distances,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -1383,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
             "AS DECIMAL(20,10)) * CAST(10000000000 AS DECIMAL(11,0)) "
             "AS BIGINT)) AS BIGINT) AS sum_v_e10, "
             "count(*) AS n FROM x WHERE pos <= 8 GROUP BY label, pos"),
+        "label_pair_distances": (
+            "WITH x AS (SELECT label, generate_subscripts(embedding, 1) "
+            "AS pos, unnest(embedding) AS v FROM embeddings), "
+            "g AS (SELECT label, pos, CAST(sum(CAST(CAST(CAST(v AS "
+            "DOUBLE) AS DECIMAL(20,10)) * CAST(10000000000 AS "
+            "DECIMAL(11,0)) AS BIGINT)) AS BIGINT) AS s, count(*) AS n "
+            "FROM x GROUP BY label, pos), "
+            "cd AS (SELECT label, pos, CAST(s AS DOUBLE) / "
+            "(n * 10000000000) AS c FROM g), "
+            "t AS (SELECT a.label AS label_a, b.label AS label_b, "
+            "a.pos AS pos, (a.c - b.c) * (a.c - b.c) AS tt "
+            "FROM cd a JOIN cd b ON a.pos = b.pos AND a.label < b.label) "
+            "SELECT label_a, label_b, sum(tt ORDER BY pos) AS dist2, "
+            "sqrt(sum(tt ORDER BY pos)) AS dist FROM t "
+            "GROUP BY label_a, label_b"),
         "token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
             "AS n_tokens, CAST(length(text) AS INT) AS len_chars "

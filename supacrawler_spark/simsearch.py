@@ -185,6 +185,33 @@ NEAR_DUP_BAND_PLANES = 4
 NEAR_DUP_TAU = 0.40
 
 
+def label_pair_distances(spark, sf_dir) -> DataFrame:
+    """Exact pairwise Euclidean distances between per-label embedding
+    centroids — the cluster-separation / label-confusion diagnostic a
+    training pipeline runs after bucketing or labeling a corpus.
+
+    Scale shape: the heavy work is the centroid reduction (integer-grid
+    partial-agg sums over the full embedding table, _centroids); the
+    pair stage then joins a k-row dim with itself (k = label count) —
+    a deliberate broadcast cross of driver-known-tiny sides; corpus
+    rows are never pair-joined. Determinism: centroids are bit-identical
+    across engines (integer-grid sums), the squared-difference terms
+    fold in dimension order (strict left fold from 0.0 in both
+    engines), and sqrt is IEEE correctly-rounded."""
+    emb = _emb(spark, sf_dir).select(
+        "label", F.col("embedding").alias("v"))
+    c = _centroids(emb)
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.label") < F.col("b.label"))
+    diff2 = F.zip_with(F.col("a.c"), F.col("b.c"),
+                       lambda x, y: (x - y) * (x - y))
+    dist2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    return pairs.select(F.col("a.label").alias("label_a"),
+                        F.col("b.label").alias("label_b"),
+                        dist2.alias("dist2"),
+                        F.sqrt(dist2).alias("dist"))
+
+
 def cosine_near_dup(spark, sf_dir, tau: float = NEAR_DUP_TAU,
                     n_bands: int = NEAR_DUP_BANDS,
                     band_planes: int = NEAR_DUP_BAND_PLANES) -> DataFrame:
