@@ -125,3 +125,26 @@ def test_delay_only_host_kept_in_dim(spark):
            list(od.disallow_prefixes) == []
     assert dim["both.example.org"].crawl_delay_ms == 2000
     assert list(dim["both.example.org"].disallow_prefixes) == ["/x/"]
+
+
+def test_delay_resume_equals_uninterrupted(spark, web, tmp_path):
+    """Crawl-delay x resume composition: a delay-throttled crawl
+    interrupted after wave 0 and resumed from checkpoint produces the
+    byte-identical trace of the uninterrupted delay-throttled crawl —
+    the deferred-by-delay frontier must survive the state round-trip."""
+    pages_df, _, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=25)
+    rob_df = _robots_delay_df(spark, 5000)
+
+    full = run_crawl(spark, pages_df, seeds, params, robots_df=rob_df)
+    assert full.stats["waves"] >= 2
+
+    state = str(tmp_path / "state")
+    part = run_crawl(spark, pages_df, seeds,
+                     CrawlParams(depth=2, link_limit=25, max_waves=1),
+                     robots_df=rob_df, state_dir=state)
+    assert part.stats["waves"] == 1
+    resumed = run_crawl(spark, pages_df, seeds, params,
+                        robots_df=rob_df, state_dir=state, resume=True)
+    assert _trace(resumed) == _trace(full)
