@@ -768,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # host link graph
         "host_link_edges": graph.host_link_edges,
         "pagerank_hosts": graph.pagerank_hosts,
+        "trustrank_hosts": graph.trustrank_hosts,
         "host_degree_stats": graph.host_degree_stats,
         # parse data plane
         "parse_prep": parseops.parse_prep,
@@ -1103,6 +1104,33 @@ def _pagerank_sql(iters: int = graph.PR_ITERS) -> str:
     return sql + f" SELECT host, pr AS pagerank_fp FROM r{iters}"
 
 
+def _trustrank_sql(iters: int = graph.PR_ITERS) -> str:
+    """_pagerank_sql with the teleport/base term gated on the fixture's
+    trusted-host rule (graph.trusted_host: numeric id % 7 == 0)."""
+    trusted = "CAST(substr({h}, 2) AS BIGINT) % 7 = 0"
+    sql = (_HOST_EDGES_SQL +
+           ", outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS w_out "
+           "FROM edges GROUP BY 1), "
+           "nodes AS (SELECT src AS host FROM edges "
+           "UNION SELECT dst FROM edges), "
+           f"r0 AS (SELECT host, CAST(CASE WHEN "
+           f"{trusted.format(h='host')} THEN {graph.PR_SCALE} ELSE 0 END "
+           "AS BIGINT) AS pr FROM nodes)")
+    for k in range(1, iters + 1):
+        sql += (
+            f", r{k} AS (SELECT n.host, CAST(CASE WHEN "
+            f"{trusted.format(h='n.host')} THEN {graph.PR_BASE} ELSE 0 END "
+            "+ COALESCE(s.in_sum, 0) AS BIGINT) AS pr "
+            "FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS host, CAST(sum("
+            f"(r.pr * {graph.PR_DAMP_NUM} * e.weight) // "
+            f"({graph.PR_DAMP_DEN} * o.w_out)) AS BIGINT) AS in_sum "
+            "FROM edges e JOIN outw o ON o.src = e.src "
+            f"JOIN r{k - 1} r ON r.host = e.src "
+            "GROUP BY 1) s ON s.host = n.host)")
+    return sql + f" SELECT host, pr AS pagerank_fp FROM r{iters}"
+
+
 def _corpus_select_sql() -> str:
     """corpus_select twin: the dup-cluster recursive chain extended
     with per-doc repetition, language and contamination CTEs, joined
@@ -1216,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
             "max(value) AS max_value FROM events GROUP BY 1"),
         "host_link_edges": _HOST_EDGES_SQL + "SELECT * FROM edges",
         "pagerank_hosts": _pagerank_sql(),
+        "trustrank_hosts": _trustrank_sql(),
         "host_degree_stats": (
             _HOST_EDGES_SQL +
             ", o AS (SELECT src AS host, count(*) AS out_degree, "

@@ -74,13 +74,27 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     real cluster, repartition edges by src once and every iteration's
     join reuses that exchange.
     """
+    return _power_iterate(edges, iters, trusted_pred=None)
+
+
+def _power_iterate(edges: DataFrame, iters: int,
+                   trusted_pred=None) -> DataFrame:
+    """Shared fixed-point power iteration. With ``trusted_pred`` (a
+    host-Column -> boolean-Column predicate) the teleport/base term is
+    restricted to the trusted set — TrustRank — so rank mass can only
+    originate at trusted nodes and flow along links; spam hosts with
+    no trusted in-path converge to 0."""
     outw = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
     e = edges.join(outw, "src").persist()
-    nodes = (e.select(F.col("src").alias("host"))
+    hosts = (e.select(F.col("src").alias("host"))
              .union(e.select(F.col("dst").alias("host")))
-             .distinct().persist())
-    ranks = nodes.select(
-        "host", F.lit(PR_SCALE).cast("long").alias("rank"))
+             .distinct())
+    tflag = (F.lit(True) if trusted_pred is None
+             else trusted_pred(F.col("host")))
+    nodes = hosts.select("host", tflag.alias("trusted")).persist()
+    init = F.when(F.col("trusted"), F.lit(PR_SCALE)).otherwise(F.lit(0))
+    base = F.when(F.col("trusted"), F.lit(PR_BASE)).otherwise(F.lit(0))
+    ranks = nodes.select("host", init.cast("long").alias("rank"))
     contrib = F.expr(
         f"(rank * {PR_DAMP_NUM} * weight) DIV ({PR_DAMP_DEN} * w_out)")
     for _ in range(iters):
@@ -91,7 +105,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
                     .agg(F.sum("c").alias("in_sum")))
         ranks = (nodes.join(incoming, "host", "left")
                  .select("host",
-                         (F.lit(PR_BASE).cast("long")
+                         (base.cast("long")
                           + F.coalesce("in_sum", F.lit(0)))
                          .alias("rank"))
                  .localCheckpoint())
@@ -104,6 +118,25 @@ def pagerank_hosts(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
     """Driver-contract entry: PageRank over the deterministic host
     graph (see module docstring)."""
     return pagerank(host_link_edges(spark, sf_dir), iters)
+
+
+def trusted_host(host) -> "F.Column":
+    """The fixture's trusted-seed rule: host numeric id % 7 == 0
+    (h0, h7, h14, h21, h28 of the 32 synthetic hosts) — mirrored
+    literally by the DuckDB oracle."""
+    return F.substring(host, 2, 10).cast("long") % 7 == 0
+
+
+def trustrank_hosts(spark, sf_dir, iters: int = PR_ITERS) -> DataFrame:
+    """TrustRank: PageRank with the teleport restricted to a trusted
+    seed set — the classic spam-demotion ranking (Gyöngyi et al.,
+    VLDB'04). Hosts reachable only from untrusted regions of the graph
+    converge to 0; a training pipeline thresholds this to down-weight
+    link-farm content. Same BIGINT fixed-point iteration and the same
+    two-hash-shuffles-per-round scale shape as pagerank_hosts; the
+    trusted flag is one boolean on the slim node table."""
+    return _power_iterate(host_link_edges(spark, sf_dir), iters,
+                          trusted_pred=trusted_host)
 
 
 def host_degree_stats(spark, sf_dir) -> DataFrame:

@@ -84,3 +84,60 @@ def test_host_link_edges_drops_self_loops_and_counts(spark):
            for r in graph.host_link_edges(spark, SF_DIR).collect()}
     assert got == dict(want)
     assert all(s != d for (s, d) in got)
+
+
+def _py_trustrank(edge_list, trusted, iters=graph.PR_ITERS):
+    """Independent TrustRank twin: teleport restricted to `trusted`."""
+    outw = defaultdict(int)
+    nodes = set()
+    for s, d, w in edge_list:
+        outw[s] += w
+        nodes.add(s)
+        nodes.add(d)
+    rank = {n: graph.PR_SCALE if n in trusted else 0 for n in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for s, d, w in edge_list:
+            inc[d] += (rank[s] * graph.PR_DAMP_NUM * w) // (
+                graph.PR_DAMP_DEN * outw[s])
+        rank = {n: (graph.PR_BASE if n in trusted else 0) + inc[n]
+                for n in nodes}
+    return rank
+
+
+def test_trustrank_hosts_matches_python_twin(spark):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    pairs = defaultdict(int)
+    for uid, eid in zip(ev["user_id"], ev["event_id"]):
+        s, d = f"h{uid % 32}", f"h{eid % 32}"
+        if s != d:
+            pairs[(s, d)] += 1
+    edges = [(s, d, w) for (s, d), w in pairs.items()]
+    trusted = {n for n in {x for e in edges for x in e[:2]}
+               if int(n[1:]) % 7 == 0}
+    want = _py_trustrank(edges, trusted)
+    got = {r["host"]: r["pagerank_fp"]
+           for r in graph.trustrank_hosts(spark, SF_DIR).collect()}
+    assert got == want
+    # trust mass originates only at trusted nodes
+    assert all(got[n] >= graph.PR_BASE for n in trusted)
+
+
+def test_trustrank_untrusted_island_converges_to_zero(spark):
+    """A component with no trusted in-path (the link-farm shape) must
+    end at rank 0 while the trusted component keeps mass."""
+    edges = spark.createDataFrame(
+        # trusted island: h0 <-> h7 ; spam island: h3 <-> h5
+        [("h0", "h7", 2), ("h7", "h0", 1),
+         ("h3", "h5", 4), ("h5", "h3", 4)],
+        "src string, dst string, weight long")
+    got = {r["host"]: r["pagerank_fp"]
+           for r in graph._power_iterate(
+               edges, graph.PR_ITERS,
+               trusted_pred=graph.trusted_host).collect()}
+    assert got["h3"] == 0 and got["h5"] == 0
+    assert got["h0"] > 0 and got["h7"] > 0
+    # and plain pagerank would NOT zero the spam island
+    pr = {r["host"]: r["pagerank_fp"]
+          for r in graph.pagerank(edges).collect()}
+    assert pr["h3"] > 0 and pr["h5"] > 0
