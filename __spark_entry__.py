@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "cosine_near_dup": simsearch.cosine_near_dup,
         "label_pair_distances": simsearch.label_pair_distances,
+        "ann_recall": simsearch.ann_recall,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -956,9 +957,11 @@ def _simhash_near_dup_sql(bits: int = textops.SIMHASH_ND_BITS,
         f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_dist}")
 
 
-def _cosine_sql(ann: bool) -> str:
+def _cosine_sql(ann: bool, n_queries: "int | None" = None,
+                k: "int | None" = None) -> str:
     planes = simsearch.plane_weights()
     if ann:
+        n_queries, k = n_queries or 20, k or 3
         bucket = " + ".join(
             "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
             f"[{','.join(str(x) for x in w)}]::DOUBLE[]) >= 0 "
@@ -968,9 +971,9 @@ def _cosine_sql(ann: bool) -> str:
             f"WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket "
             "FROM embeddings), "
             "q AS (SELECT vec_id AS query_id, embedding AS qe, bucket "
-            "FROM b WHERE vec_id < 20), "
+            f"FROM b WHERE vec_id < {n_queries}), "
             "c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket "
-            "FROM b WHERE vec_id >= 20), "
+            f"FROM b WHERE vec_id >= {n_queries}), "
             "s AS (SELECT query_id, neighbor_id, "
             "list_cosine_similarity(CAST(qe AS DOUBLE[]), "
             "CAST(ce AS DOUBLE[])) AS score "
@@ -979,12 +982,13 @@ def _cosine_sql(ann: bool) -> str:
             "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
             "FROM s) "
             "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
-            "FROM r WHERE rank <= 3")
+            f"FROM r WHERE rank <= {k}")
+    n_queries, k = n_queries or 5, k or 5
     return (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
-        "FROM embeddings WHERE vec_id < 5), "
+        f"FROM embeddings WHERE vec_id < {n_queries}), "
         "c AS (SELECT vec_id AS neighbor_id, embedding AS ce "
-        "FROM embeddings WHERE vec_id >= 5), "
+        f"FROM embeddings WHERE vec_id >= {n_queries}), "
         "s AS (SELECT query_id, neighbor_id, "
         "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
         " AS score FROM q CROSS JOIN c), "
@@ -992,7 +996,33 @@ def _cosine_sql(ann: bool) -> str:
         "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
         "FROM s) "
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
-        "FROM r WHERE rank <= 5")
+        f"FROM r WHERE rank <= {k}")
+
+
+def _ann_recall_sql(n_queries: int = 20, k: int = 3) -> str:
+    """Recall@k twin: the exact, LSH and IVF top-k queries as nested
+    CTEs over the SAME query/corpus split, hits counted by LEFT join
+    on (query_id, neighbor_id)."""
+    return (
+        f"WITH ex AS ({_cosine_sql(False, n_queries, k)}), "
+        f"lshq AS ({_cosine_sql(True, n_queries, k)}), "
+        f"ivfq AS ({_ivf_sql(n_queries, k)}) "
+        "SELECT ex.query_id, "
+        "CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS lsh_hits, "
+        "CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS ivf_hits, "
+        "count(*) AS n_exact, "
+        "sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "/ count(*) AS lsh_recall, "
+        "sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) "
+        "/ count(*) AS ivf_recall "
+        "FROM ex "
+        "LEFT JOIN lshq l ON l.query_id = ex.query_id "
+        "AND l.neighbor_id = ex.neighbor_id "
+        "LEFT JOIN ivfq i ON i.query_id = ex.query_id "
+        "AND i.neighbor_id = ex.neighbor_id "
+        "GROUP BY ex.query_id")
 
 
 def _ivf_sql(n_queries: int = 20, k: int = 3, n_probe: int = 2) -> str:
@@ -1413,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
             "AS DECIMAL(20,10)) * CAST(10000000000 AS DECIMAL(11,0)) "
             "AS BIGINT)) AS BIGINT) AS sum_v_e10, "
             "count(*) AS n FROM x WHERE pos <= 8 GROUP BY label, pos"),
+        "ann_recall": _ann_recall_sql(),
         "label_pair_distances": (
             "WITH x AS (SELECT label, generate_subscripts(embedding, 1) "
             "AS pos, unnest(embedding) AS v FROM embeddings), "

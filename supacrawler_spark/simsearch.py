@@ -185,6 +185,36 @@ NEAR_DUP_BAND_PLANES = 4
 NEAR_DUP_TAU = 0.40
 
 
+def ann_recall(spark, sf_dir, n_queries: int = 20, k: int = 3) -> DataFrame:
+    """Recall@k of the two ANN paths against the exact top-k — the
+    approximation-quality diagnostic a pipeline publishes before
+    trusting an index (per query: |ANN ∩ exact| / k for hyperplane-LSH
+    and for IVF, over the same query/corpus split).
+
+    Scale shape: the three top-k inputs keep their own shapes (exact
+    brute force is the documented anchor; both ANN sides are bucket
+    equi-joins); this op then LEFT-joins two k-row-per-query sets on
+    (query_id, neighbor_id) — slim keys only. Counts are exact
+    integers; recalls are one IEEE division each."""
+    exact = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k) \
+        .select("query_id", "neighbor_id")
+    lsh = lsh_topk(spark, sf_dir, n_queries=n_queries, k=k) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("lsh_hit"))
+    ivf = ivf_topk(spark, sf_dir, n_queries=n_queries, k=k) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("ivf_hit"))
+    j = (exact.join(lsh, ["query_id", "neighbor_id"], "left")
+         .join(ivf, ["query_id", "neighbor_id"], "left"))
+    return (j.groupBy("query_id")
+            .agg(F.sum(F.coalesce("lsh_hit", F.lit(0))).alias("lsh_hits"),
+                 F.sum(F.coalesce("ivf_hit", F.lit(0))).alias("ivf_hits"),
+                 F.count("*").alias("n_exact"))
+            .select("query_id", "lsh_hits", "ivf_hits", "n_exact",
+                    (F.col("lsh_hits") / F.col("n_exact"))
+                    .alias("lsh_recall"),
+                    (F.col("ivf_hits") / F.col("n_exact"))
+                    .alias("ivf_recall")))
+
+
 def label_pair_distances(spark, sf_dir) -> DataFrame:
     """Exact pairwise Euclidean distances between per-label embedding
     centroids — the cluster-separation / label-confusion diagnostic a
