@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": textops.dup_clusters,
         "simhash_clusters": textops.simhash_clusters,
         "multi_signal_clusters": textops.multi_signal_clusters,
+        "dedup_rate_by_source": textops.dedup_rate_by_source,
         "dedup_keep_best": textops.dedup_keep_best,
         "simhash": textops.simhash,
         "simhash_near_dup": textops.simhash_near_dup,
@@ -1596,6 +1597,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "simhash_clusters": _simhash_clusters_sql(),
         "multi_signal_clusters": _multi_signal_clusters_sql(),
+        "dedup_rate_by_source": (
+            f"WITH mc AS ({_multi_signal_clusters_sql()}) "
+            "SELECT d.source, count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN mc.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_docs, "
+            "sum(CASE WHEN mc.doc_id IS NOT NULL THEN 1 ELSE 0 END) "
+            "/ count(*) AS dup_rate "
+            "FROM documents d LEFT JOIN mc ON mc.doc_id = d.doc_id "
+            "GROUP BY d.source"),
         "media_metadata": (
             "SELECT doc_id, "
             "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' "

@@ -446,6 +446,27 @@ def multi_signal_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     return _clusters_from_edges(mh.union(sh).distinct())
 
 
+def dedup_rate_by_source(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+    """Per-source duplication report: how many of each source's docs
+    sit in a multi-signal near-dup cluster, and the duplicate rate —
+    the number a curation run publishes to decide which feeds to
+    down-weight or drop. Exact integers + one IEEE division.
+
+    Scale shape: the cluster membership set is tiny (clustered docs
+    only); it LEFT-joins onto the slim (doc_id, source) projection and
+    collapses in one map-side-combinable groupBy(source)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    dup = (multi_signal_clusters(spark, sf_dir, threshold)
+           .select("doc_id", F.lit(1).alias("is_dup")))
+    return (docs.join(dup, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_docs"))
+            .select("source", "n_docs", "n_dup_docs",
+                    (F.col("n_dup_docs") / F.col("n_docs"))
+                    .alias("dup_rate")))
+
+
 def dedup_keep_best(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     """Canonical-document selection: for each near-dup cluster keep
     the doc with the most whitespace tokens (ties -> min doc_id).

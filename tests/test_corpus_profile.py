@@ -58,3 +58,17 @@ def test_overlap_join_is_equi_join(spark):
         .queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_rate_by_source_consistent(spark):
+    dup_docs = {r["doc_id"] for r in
+                textops.multi_signal_clusters(spark, SF_DIR).collect()}
+    docs = [(r["doc_id"], r["source"]) for r in
+            textops._docs(spark, SF_DIR).select("doc_id", "source")
+            .collect()]
+    got = {r["source"]: (r["n_docs"], r["n_dup_docs"], r["dup_rate"])
+           for r in textops.dedup_rate_by_source(spark, SF_DIR).collect()}
+    from collections import Counter
+    n = Counter(src for _, src in docs)
+    nd = Counter(src for d, src in docs if d in dup_docs)
+    assert got == {s: (n[s], nd[s], nd[s] / n[s]) for s in n}
