@@ -743,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": textops.lsh_verified_pairs,
         "dup_clusters": textops.dup_clusters,
         "simhash_clusters": textops.simhash_clusters,
+        "winnow_fingerprints": textops.winnow_fingerprints,
         "multi_signal_clusters": textops.multi_signal_clusters,
         "dedup_rate_by_source": textops.dedup_rate_by_source,
         "dedup_keep_best": textops.dedup_keep_best,
@@ -889,6 +890,20 @@ _CC_CLUSTERS_SQL = (
     "lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id) "
     "SELECT id AS doc_id, cluster_id, "
     "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lab")
+
+
+def _winnow_sql(k: int = textops.WINNOW_K, w: int = textops.WINNOW_W) -> str:
+    gram = (" || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+            .replace("ws[i+0]", "ws[i]"))
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        f"FROM documents WHERE len(string_split(text, ' ')) >= {k + w - 1}), "
+        "g AS (SELECT doc_id, list_transform("
+        f"range(1, len(ws) - {k - 2}), i -> md5({gram})) AS hs FROM d), "
+        "f AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, len(hs) - {w - 2}), "
+        f"i -> list_aggregate(hs[i:i+{w - 1}], 'min')))) AS fp FROM g) "
+        "SELECT DISTINCT doc_id, fp FROM f")
 
 
 def _simhash_clusters_sql() -> str:
@@ -1596,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "simhash_clusters": _simhash_clusters_sql(),
+        "winnow_fingerprints": _winnow_sql(),
         "multi_signal_clusters": _multi_signal_clusters_sql(),
         "dedup_rate_by_source": (
             f"WITH mc AS ({_multi_signal_clusters_sql()}) "

@@ -291,6 +291,38 @@ def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
     return _simhash_df(_docs(spark, sf_dir), bits)
 
 
+WINNOW_K = 3   # k-gram size
+WINNOW_W = 4   # window of consecutive k-gram hashes
+
+
+def winnow_fingerprints(spark, sf_dir, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum.
+    Guarantees any shared run of >= k+w-1 tokens yields a shared
+    fingerprint, while selecting only ~2/(w+1) of the hashes —
+    position-robust plagiarism/overlap detection where shingle-set
+    methods over-count and simhash under-localizes.
+
+    Scale shape: entirely array-native inside one projection — the
+    gram array, its md5-hex array, and the per-window minima all live
+    in the row; nothing explodes until the final distinct fingerprint
+    set, so the shuffle carries the selected minima only (~2n/(w+1)
+    rows/doc, not n windows). Ties need no rule because the output is
+    the distinct SET of selected hash values. md5 hex strings compare
+    lexicographically identically in both engines."""
+    toks = F.split("text", " ")
+    docs = _docs(spark, sf_dir).filter(F.size(toks) >= k + w - 1)
+    hashes = F.transform(_gram_arr(toks, k), lambda g: F.md5(g))
+    docs = docs.select("doc_id", hashes.alias("hs"))
+    idx = F.sequence(F.lit(1), F.size("hs") - (w - 1))
+    mins = F.transform(idx, lambda i: F.array_min(F.slice("hs", i, w)))
+    return (docs.select("doc_id",
+                        F.explode(F.array_distinct(mins)).alias("fp"))
+            .distinct())
+
+
 def simhash_near_dup(spark, sf_dir, bits: int = SIMHASH_ND_BITS,
                      bands: int = SIMHASH_ND_BANDS,
                      max_dist: int = SIMHASH_ND_MAXDIST) -> DataFrame:
