@@ -744,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": textops.dup_clusters,
         "simhash_clusters": textops.simhash_clusters,
         "winnow_fingerprints": textops.winnow_fingerprints,
+        "dup_span_stats": textops.dup_span_stats,
         "multi_signal_clusters": textops.multi_signal_clusters,
         "dedup_rate_by_source": textops.dedup_rate_by_source,
         "dedup_keep_best": textops.dedup_keep_best,
@@ -904,6 +905,23 @@ def _winnow_sql(k: int = textops.WINNOW_K, w: int = textops.WINNOW_W) -> str:
         f"range(1, len(hs) - {w - 2}), "
         f"i -> list_aggregate(hs[i:i+{w - 1}], 'min')))) AS fp FROM g) "
         "SELECT DISTINCT doc_id, fp FROM f")
+
+
+def _dup_span_sql(n: int = textops.DUP_SPAN_N) -> str:
+    gram = (" || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+            .replace("w[i+0]", "w[i]"))
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+        f"FROM documents WHERE len(string_split(text, ' ')) >= {n}), "
+        f"g AS (SELECT doc_id, md5(unnest(list_transform("
+        f"range(1, len(w) - {n - 2}), i -> {gram}))) AS gh FROM d), "
+        "s AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh) "
+        "SELECT doc_id, count(*) AS n_spans, "
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_spans, "
+        "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*) "
+        "AS dup_span_frac "
+        "FROM g JOIN s USING (gh) GROUP BY doc_id")
 
 
 def _simhash_clusters_sql() -> str:
@@ -1612,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "simhash_clusters": _simhash_clusters_sql(),
         "winnow_fingerprints": _winnow_sql(),
+        "dup_span_stats": _dup_span_sql(),
         "multi_signal_clusters": _multi_signal_clusters_sql(),
         "dedup_rate_by_source": (
             f"WITH mc AS ({_multi_signal_clusters_sql()}) "

@@ -186,11 +186,14 @@ def main() -> int:
         bench_q("simhash_near_dup", textops.simhash_near_dup)
         bench_q("quality_score", textops.quality_score)
         bench_q("dup_clusters", textops.dup_clusters)
+        bench_q("multi_signal_clusters", textops.multi_signal_clusters)
+        bench_q("dup_span_stats", textops.dup_span_stats)
         bench_q("decontam_overlap", textops.decontam_overlap)
         bench_q("cosine_topk", simsearch.cosine_topk)
         bench_q("pii_redact", textops.pii_redact)
         bench_q("paragraph_dedup", textops.paragraph_dedup)
         bench_q("pagerank_hosts", E.graph.pagerank_hosts)
+        bench_q("trustrank_hosts", E.graph.trustrank_hosts)
         from supacrawler_spark.sources import warc as _warc
         bench_q("warc_roundtrip", _warc.warc_roundtrip)
         from supacrawler_spark import scrapeops as _sco

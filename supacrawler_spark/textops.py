@@ -619,6 +619,36 @@ PII_PHONE_RE = r"\+\d-\d{3}-\d{4}"
 PARA_TOKENS = 8
 
 
+DUP_SPAN_N = 8
+
+
+def dup_span_stats(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
+    """Sliding duplicated-span profile (the Lee et al. '21 exact-
+    substring-dedup signal, windowed): for every doc, the fraction of
+    its n-token windows that also occur in at least one OTHER doc —
+    high values flag memorization-risk boilerplate that chunk-level
+    dedup (paragraph_dedup's fixed 8-token chunks) misses when spans
+    straddle chunk boundaries. Emits (doc_id, n_spans, n_dup_spans,
+    dup_span_frac); exact integers + one IEEE division.
+
+    Scale shape: window occurrences keyed by md5 hash; one groupBy(gh)
+    computing the distinct-doc count (map-side partial), re-joined to
+    the occurrence stream on the same uniform 32-byte key, then one
+    groupBy(doc_id). Gram text never shuffles — only its hash."""
+    docs = _docs(spark, sf_dir)
+    g = _ngrams(docs, n).select("doc_id", F.md5("gram").alias("gh"))
+    shared = (g.groupBy("gh")
+              .agg(F.count_distinct("doc_id").alias("nd")))
+    return (g.join(shared, "gh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .alias("n_dup_spans"))
+            .select("doc_id", "n_spans", "n_dup_spans",
+                    (F.col("n_dup_spans") / F.col("n_spans"))
+                    .alias("dup_span_frac")))
+
+
 def _with_pii(docs):
     """Deterministic PII augmentation: every doc gains one email, one
     IPv4 and one phone number derived from doc_id (the same

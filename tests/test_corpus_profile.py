@@ -72,3 +72,27 @@ def test_dedup_rate_by_source_consistent(spark):
     n = Counter(src for _, src in docs)
     nd = Counter(src for d, src in docs if d in dup_docs)
     assert got == {s: (n[s], nd[s], nd[s] / n[s]) for s in n}
+
+
+def test_dup_span_stats_vs_bruteforce(spark):
+    n = textops.DUP_SPAN_N
+    docs = {r["doc_id"]: r["text"].split(" ")
+            for r in textops._docs(spark, SF_DIR).collect()}
+    from collections import defaultdict
+    owners = defaultdict(set)
+    spans = {}
+    for d, w in docs.items():
+        spans[d] = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        for s in spans[d]:
+            owners[s].add(d)
+    expect = {}
+    for d, ss in spans.items():
+        if not ss:
+            continue
+        dup = sum(1 for s in ss if len(owners[s]) > 1)
+        expect[d] = (len(ss), dup, dup / len(ss))
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"],
+                         r["dup_span_frac"])
+           for r in textops.dup_span_stats(spark, SF_DIR).collect()}
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # duplicates exist
