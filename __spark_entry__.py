@@ -773,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": graph.pagerank_hosts,
         "trustrank_hosts": graph.trustrank_hosts,
         "host_degree_stats": graph.host_degree_stats,
+        "anchor_text": graph.anchor_text,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -1731,6 +1732,12 @@ def oracle_sql() -> dict[str, str]:
         "scrape_markdown": (
             "SELECT url, status_code, success, title, discovered FROM "
             f"'{_GOLDENS}/scrape_markdown_sf001.parquet'"),
+        # anchor-text corpus: golden enumerated a priori from the page
+        # TEMPLATE (nav sections + _link_specs), no html parsed —
+        # scripts/make_goldens.py:golden_anchor_text
+        "anchor_text": (
+            "SELECT target_url, n_refs, n_sources, n_texts, top_text, "
+            f"top_count FROM '{_GOLDENS}/anchor_text_sf001.parquet'"),
         # J3 scrape cache: golden from TWO independent oracle runs +
         # the pure cache-membership rule (no engine involvement)
         "scrape_cache_hits": (

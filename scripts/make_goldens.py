@@ -203,6 +203,93 @@ def golden_screenshot_artifacts():
     print(f"screenshot_artifacts golden: {t.num_rows} rows")
 
 
+def _absolutize_independent(link: str, base_url: str) -> str:
+    """Independent transcription of the scrape service's crude
+    absolutization rules (scrape/service.go:345-371) for the golden —
+    NOT imported from htmlkit, so a regression there mismatches here."""
+    if link.startswith("http://") or link.startswith("https://"):
+        return link
+    if link.startswith("//"):
+        scheme = "https:" if base_url.startswith("https://") else "http:"
+        return scheme + link
+    if link.startswith("/"):
+        i = base_url.find("://")
+        host_end = base_url.find("/", i + 3)
+        root = base_url if host_end == -1 else base_url[:host_end]
+        return root + link
+    if link.startswith(("#", "javascript:", "mailto:")):
+        return link
+    sep = "" if base_url.endswith("/") else "/"
+    return base_url + sep + link
+
+
+def template_anchor_pairs(doc_id: int, n_docs: int, seed: int = 42):
+    """A-priori (target_url, anchor_text) list for a synthetic page,
+    enumerated from the TEMPLATE rules (synth_html: nav sections, then
+    anchors[:4] as link{i}, then anchors[4:] as item{i}) — no html is
+    parsed, so extraction bugs in htmlkit show up as golden mismatch."""
+    from supacrawler_spark.sources.synth import SECTIONS, _link_specs
+
+    raw = [(f"/{s}/index", s) for s in SECTIONS[: 1 + doc_id % 3]]
+    anchors = _link_specs(doc_id, n_docs, seed)
+    raw += [(a, f"link{i}") for i, a in enumerate(anchors[:4])]
+    raw += [(a, f"item{i}") for i, a in enumerate(anchors[4:])]
+    base = page_url(doc_id, seed)
+    out = []
+    for href, text in raw:
+        href = href.strip()
+        if not href:
+            continue
+        url = _absolutize_independent(href, base)
+        if url.startswith("http://") or url.startswith("https://"):
+            out.append((url, text))
+    return out
+
+
+def golden_anchor_text():
+    """Mirror of graph.anchor_text (sf0.01, limit=ANCHOR_PAGES):
+    per-target n_refs / n_sources / n_texts / top_text / top_count,
+    ties on top_count broken to the lexicographically greatest text
+    (same max(struct(n, text)) rule as the Spark fold)."""
+    from collections import Counter, defaultdict
+
+    from supacrawler_spark.graph import ANCHOR_PAGES
+
+    n = ANCHOR_PAGES
+    texts = Counter()            # (target, text) -> occurrences
+    sources = defaultdict(set)   # target -> {src pages}
+    for doc_id in range(n):
+        src = page_url(doc_id)
+        for url, text in template_anchor_pairs(doc_id, n):
+            texts[(url, text)] += 1
+            sources[url].add(src)
+    per_target = defaultdict(list)
+    for (url, text), c in texts.items():
+        per_target[url].append((c, text))
+    urls = sorted(per_target)
+    rows = {"target_url": [], "n_refs": [], "n_sources": [],
+            "n_texts": [], "top_text": [], "top_count": []}
+    for url in urls:
+        variants = per_target[url]
+        top_c, top_t = max(variants)
+        rows["target_url"].append(url)
+        rows["n_refs"].append(sum(c for c, _ in variants))
+        rows["n_sources"].append(len(sources[url]))
+        rows["n_texts"].append(len(variants))
+        rows["top_text"].append(top_t)
+        rows["top_count"].append(top_c)
+    t = pa.table({
+        "target_url": pa.array(rows["target_url"], pa.string()),
+        "n_refs": pa.array(rows["n_refs"], pa.int64()),
+        "n_sources": pa.array(rows["n_sources"], pa.int64()),
+        "n_texts": pa.array(rows["n_texts"], pa.int64()),
+        "top_text": pa.array(rows["top_text"], pa.string()),
+        "top_count": pa.array(rows["top_count"], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(OUT, "anchor_text_sf001.parquet"))
+    print(f"anchor_text golden: {t.num_rows} targets")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     golden_crawl_trace()
@@ -210,3 +297,4 @@ if __name__ == "__main__":
     golden_scrape_cache_hits()
     golden_content_signature()
     golden_screenshot_artifacts()
+    golden_anchor_text()

@@ -164,3 +164,69 @@ def host_degree_stats(spark, sf_dir) -> DataFrame:
                     F.coalesce("out_weight", zero).alias("out_weight"),
                     F.coalesce("in_degree", zero).alias("in_degree"),
                     F.coalesce("in_weight", zero).alias("in_weight")))
+
+
+ANCHOR_PAGES = 200   # corpus bound shared by query, golden, and tests
+
+
+def anchor_pairs_df(pages: DataFrame) -> DataFrame:
+    """(target_url, anchor_text, src_url) rows extracted from a pages
+    corpus — one Arrow-batched mapInPandas pass in the scan stage, so
+    the fat html column is consumed where it is produced and never
+    shuffled. Every anchor occurrence is kept (no dedup): occurrence
+    counts are the aggregation's signal."""
+    import pandas as pd
+
+    def ex(batches):
+        from supacrawler_spark import htmlkit as H
+        for pdf in batches:
+            tgt, txt, src = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                page = bytes(html).decode("utf-8")
+                for t, a in H.extract_anchor_pairs(page, url):
+                    tgt.append(t)
+                    txt.append(a)
+                    src.append(url)
+            yield pd.DataFrame(
+                {"target_url": tgt, "anchor_text": txt, "src_url": src})
+
+    return pages.select("url", "html").mapInPandas(
+        ex, "target_url string, anchor_text string, src_url string")
+
+
+def anchor_text_agg(pairs: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: how the web describes each URL.
+
+    Output per target_url: n_refs (anchor occurrences), n_sources
+    (distinct referring pages), n_texts (distinct anchor strings),
+    top_text / top_count (the most frequent anchor string; ties break
+    to the lexicographically greatest text via max(struct(n, text)) —
+    deterministic, mirrored by the a-priori golden).
+
+    100-TB shape: the (target, text) rollup and the per-target fold
+    are both map-side-combinable hash aggregations on the target key;
+    n_sources is one distinct-pair rollup reusing the same hash
+    partitioning. Only slim (url, text, count) rows shuffle — anchor
+    dictionaries per target are never materialized as arrays."""
+    by_text = (pairs.groupBy("target_url", "anchor_text")
+               .agg(F.count("*").alias("n")))
+    tstats = (by_text.groupBy("target_url")
+              .agg(F.sum("n").alias("n_refs"),
+                   F.count("*").alias("n_texts"),
+                   F.max(F.struct("n", "anchor_text")).alias("top")))
+    srcs = (pairs.select("target_url", "src_url").distinct()
+            .groupBy("target_url").agg(F.count("*").alias("n_sources")))
+    return (tstats.join(srcs, "target_url")
+            .select("target_url", "n_refs", "n_sources", "n_texts",
+                    F.col("top.anchor_text").alias("top_text"),
+                    F.col("top.n").alias("top_count")))
+
+
+def anchor_text(spark, sf_dir) -> DataFrame:
+    """Driver-contract entry: anchor-text aggregation over the first
+    ANCHOR_PAGES pages of the synthetic web. Golden oracle is computed
+    a priori from the page TEMPLATE (nav sections + _link_specs), not
+    by parsing html — scripts/make_goldens.py:golden_anchor_text."""
+    from supacrawler_spark.sources.synth import gen_pages_df
+    pages, _ = gen_pages_df(spark, sf_dir, limit=ANCHOR_PAGES)
+    return anchor_text_agg(anchor_pairs_df(pages))

@@ -604,6 +604,35 @@ def extract_links(html: str, base_url: str) -> "list[str]":
     return uniq
 
 
+_A_PAIR_RE = re.compile(
+    r"""<a[^>]+href=["']([^"']+)["'][^>]*>(.*?)</a>""", re.I | re.S)
+_INNER_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_anchor_pairs(html: str, base_url: str) -> "list[tuple[str, str]]":
+    """(target_url, anchor_text) pairs in document order — the raw
+    material of an anchor-text corpus (anchor text is the classic
+    off-page description of the *target* page; search and LLM-data
+    pipelines aggregate it per target as a quality/label signal).
+
+    Same href semantics as ``extract_links`` (scrape/service.go:
+    336-393): crude string absolutization, http(s) only — but every
+    occurrence is kept (counts are the signal, so no dedup). Anchor
+    text is the inner markup with tags stripped and whitespace
+    collapsed; empty-text anchors (image links) yield ''."""
+    pairs = []
+    for m in _A_PAIR_RE.finditer(html):
+        link = m.group(1).strip()
+        if not link:
+            continue
+        link = _absolutize(link, base_url)
+        if not (link.startswith("http://") or link.startswith("https://")):
+            continue
+        text = _WS_RE.sub(" ", _INNER_TAG_RE.sub("", m.group(2))).strip()
+        pairs.append((link, text))
+    return pairs
+
+
 def extract_hrefs(html: "str | None" = None, root=None) -> "list[str]":
     """Raw ``<a href>`` values in document order (colly's ``a[href]``
     selector, mapper/service.go:127). Used by the *discovery* path,
