@@ -760,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": textops.export_shards,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
+        "bm25_topk": textops.bm25_topk,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1365,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": textops.export_shards_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
+        "bm25_topk": textops.bm25_topk_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

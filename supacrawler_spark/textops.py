@@ -1074,3 +1074,95 @@ def corpus_select(spark, sf_dir) -> DataFrame:
         keep_dec.alias("keep_decontam"),
         (keep_tokens & keep_rep & keep_lang & keep_dup
          & keep_dec).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+
+BM25_TERMS = ("spark", "hash", "window")   # fixture query, fixed order
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def bm25_topk(spark, sf_dir) -> DataFrame:
+    """BM25 keyword search: top-k documents for a fixed multi-term
+    query — the lexical-retrieval primitive of a training-data /
+    search pipeline (Robertson & Spärck Jones probabilistic ranking).
+
+    Cross-engine bit-identity without transcendentals: the classic
+    idf is ln((N-df+0.5)/(df+0.5)); ln is NOT guaranteed identically
+    rounded across engines, so this uses the raw probability ratio
+    (N-df+0.5)/(df+0.5) as the idf factor — rank-equivalent for the
+    monotone per-term weighting and exactly reproducible, since +,*,/
+    are individually IEEE-exactly-rounded and the expression tree
+    (term order included) is mirrored literally in the DuckDB twin.
+
+    100-TB shape: per-doc term frequencies come from native
+    higher-order `filter` over the split token array — map-only, no
+    explode, no shuffle; corpus stats (N, df per term, avg doc length)
+    are ONE 1-row global aggregate broadcast back with a cross join;
+    the ranking is a TakeOrdered top-k (no full sort). Ties break on
+    doc_id so the boundary is deterministic."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    tf_cols = [
+        F.size(F.filter(w, lambda x: x == F.lit(t))).cast("long")
+        .alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)]
+    per_doc = docs.select("doc_id", F.size(w).cast("long").alias("dl"),
+                          *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(BM25_TERMS))])
+    j = per_doc.crossJoin(F.broadcast(stats))
+    nd = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    norm = F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (
+        F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = (nd - df + F.lit(0.5)) / (df + F.lit(0.5))
+        s = idf * (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf + F.lit(BM25_K1) * norm)
+        score = s if score is None else score + s
+    return (j.select("doc_id", score.alias("score"))
+            .filter(F.col("score") > 0)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(BM25_TOPK))
+
+
+def bm25_topk_oracle_sql() -> str:
+    """DuckDB twin of bm25_topk — the same expression TREE (term
+    order, parenthesization, cast points) so every IEEE op rounds
+    identically; see bm25_topk's docstring."""
+    terms = BM25_TERMS
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df{i}" for i in range(len(terms)))
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    norm = f"(0.25 + 0.75 * (CAST(dl AS DOUBLE) / {avgdl}))"
+    parts = []
+    for i in range(len(terms)):
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        df = f"CAST(df{i} AS DOUBLE)"
+        idf = f"((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        parts.append(f"{idf} * ({tf} * 2.2) / ({tf} + 1.2 * {norm})")
+    score = " + ".join(parts)
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        f"per AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, {tf_cols} "
+        "FROM w), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(sum(dl) AS BIGINT) AS sum_dl, {df_cols} FROM per), "
+        "j AS (SELECT * FROM per CROSS JOIN st) "
+        f"SELECT doc_id, score FROM (SELECT doc_id, {score} AS score "
+        "FROM j) WHERE score > 0 "
+        f"ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}")
