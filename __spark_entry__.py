@@ -775,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_hosts": graph.trustrank_hosts,
         "host_degree_stats": graph.host_degree_stats,
         "anchor_text": graph.anchor_text,
+        "hits_hosts": graph.hits_hosts,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -1197,6 +1198,35 @@ def _trustrank_sql(iters: int = graph.PR_ITERS) -> str:
     return sql + f" SELECT host, pr AS pagerank_fp FROM r{iters}"
 
 
+def _hits_sql(iters: int = graph.HITS_ITERS) -> str:
+    """Unrolled HITS twin of graph.hits_hosts: each half-step is an
+    integer weighted sum of the opposite score plus a max-normalizing
+    `// mx` back to SCALE — sums and max of BIGINTs are reduction-
+    order-independent and `//` matches Spark's DIV on these
+    non-negative operands, so hub/authority are bit-identical."""
+    def half(k, prev, src, dst):
+        return (
+            f", {k}raw AS (SELECT e.{dst} AS host, "
+            f"CAST(sum(p.s * e.weight) AS BIGINT) AS raw "
+            f"FROM edges e JOIN {prev} p ON p.host = e.{src} GROUP BY 1)"
+            f", {k}mx AS (SELECT max(raw) AS mx FROM {k}raw)"
+            f", {k} AS (SELECT n.host, CAST(COALESCE("
+            f"(r.raw * {graph.PR_SCALE}) // m.mx, 0) AS BIGINT) AS s "
+            f"FROM nodes n LEFT JOIN ({k}raw r CROSS JOIN {k}mx m) "
+            "ON r.host = n.host)")
+
+    sql = (_HOST_EDGES_SQL +
+           ", nodes AS (SELECT src AS host FROM edges "
+           "UNION SELECT dst FROM edges), "
+           f"h0 AS (SELECT host, CAST({graph.PR_SCALE} AS BIGINT) AS s "
+           "FROM nodes)")
+    for k in range(1, iters + 1):
+        sql += half(f"a{k}", f"h{k - 1}", "src", "dst")
+        sql += half(f"h{k}", f"a{k}", "dst", "src")
+    return (sql + f" SELECT h.host, h.s AS hub_fp, a.s AS authority_fp "
+            f"FROM h{iters} h JOIN a{iters} a ON a.host = h.host")
+
+
 def _corpus_select_sql() -> str:
     """corpus_select twin: the dup-cluster recursive chain extended
     with per-doc repetition, language and contamination CTEs, joined
@@ -1311,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_edges": _HOST_EDGES_SQL + "SELECT * FROM edges",
         "pagerank_hosts": _pagerank_sql(),
         "trustrank_hosts": _trustrank_sql(),
+        "hits_hosts": _hits_sql(),
         "host_degree_stats": (
             _HOST_EDGES_SQL +
             ", o AS (SELECT src AS host, count(*) AS out_degree, "

@@ -230,3 +230,62 @@ def anchor_text(spark, sf_dir) -> DataFrame:
     from supacrawler_spark.sources.synth import gen_pages_df
     pages, _ = gen_pages_df(spark, sf_dir, limit=ANCHOR_PAGES)
     return anchor_text_agg(anchor_pairs_df(pages))
+
+
+HITS_ITERS = 2
+
+
+def hits_hosts(spark, sf_dir, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the host
+    graph — the complementary centrality to PageRank: authorities are
+    hosts good pages point AT (corpus-quality weighting), hubs are
+    hosts that point at good authorities (seed-list candidates).
+
+    Determinism: BIGINT fixed-point like pagerank. Each half-step is
+    a weighted sum of the opposite score along edges, then max-
+    normalized back to SCALE with truncating division (a DIV by the
+    round's integer max — max and sum of BIGINTs are reduction-order-
+    independent, so Spark and DuckDB agree bit-for-bit where the
+    classic L2 normalization's sqrt would not).
+
+    100-TB shape per half-step: edges equi-join the opposite score on
+    one uniform host key, map-side-combinable sum on the other key,
+    one 1-row max broadcast back — two hash shuffles, nothing
+    document-sized; lineage truncated per round (localCheckpoint), as
+    in _power_iterate."""
+    return hits(host_link_edges(spark, sf_dir), iters)
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS over an arbitrary (src, dst, weight) edge table — see
+    hits_hosts for semantics and scale shape."""
+    edges = edges.persist()
+    hosts = (edges.select(F.col("src").alias("host"))
+             .union(edges.select(F.col("dst").alias("host")))
+             .distinct().persist())
+    hub = hosts.select("host", F.lit(PR_SCALE).cast("long").alias("s"))
+
+    def _half(score, src_key, dst_key):
+        raw = (edges.join(score.withColumnRenamed("host", src_key),
+                          src_key)
+               .select(F.col(dst_key).alias("host"),
+                       (F.col("s") * F.col("weight")).alias("c"))
+               .groupBy("host").agg(F.sum("c").alias("raw")))
+        mx = raw.agg(F.max("raw").alias("mx"))
+        normed = (raw.crossJoin(F.broadcast(mx))
+                  .select("host", F.expr(
+                      f"(raw * {PR_SCALE}) DIV mx").alias("s")))
+        return (hosts.join(normed, "host", "left")
+                .select("host", F.coalesce(
+                    "s", F.lit(0).cast("long")).alias("s"))
+                .localCheckpoint())
+
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")     # authority <- hubs pointing in
+        hub = _half(auth, "dst", "src")     # hub <- authorities pointed at
+    out = (hub.withColumnRenamed("s", "hub_fp")
+           .join(auth.withColumnRenamed("s", "authority_fp"), "host"))
+    edges.unpersist()
+    hosts.unpersist()
+    return out.select("host", "hub_fp", "authority_fp")
