@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": simsearch.cosine_near_dup,
         "label_pair_distances": simsearch.label_pair_distances,
         "ann_recall": simsearch.ann_recall,
+        "embedding_quantize": simsearch.embedding_quantize,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -1754,6 +1755,25 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _cosine_sql(ann=True),
         "ivf_topk": _ivf_sql(),
         "cosine_near_dup": _near_dup_sql(),
+        # int8 scalar quantization: two IEEE ops + floor per element,
+        # maxabs/sums order-independent — bit-identical (see
+        # simsearch.embedding_quantize docstring)
+        "embedding_quantize": (
+            "WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+            "FROM embeddings), "
+            "m AS (SELECT vec_id, e, "
+            "list_max(list_transform(e, x -> abs(x))) AS maxabs FROM d), "
+            "qv AS (SELECT vec_id, maxabs, CASE WHEN maxabs = 0 "
+            "THEN list_transform(e, x -> CAST(0 AS BIGINT)) "
+            "ELSE list_transform(e, x -> CAST(floor((x * 127.0) / maxabs) "
+            "AS BIGINT)) END AS q FROM m) "
+            "SELECT vec_id, maxabs, "
+            "md5(array_to_string(q, ',')) AS q_digest, "
+            "CAST(list_sum(q) AS BIGINT) AS q_sum, "
+            "CAST(list_min(q) AS BIGINT) AS q_min, "
+            "CAST(list_max(q) AS BIGINT) AS q_max, "
+            "CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) "
+            "AS n_sat FROM qv"),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a
         # priori by the independent pure-Python oracle (oracle.py);

@@ -309,3 +309,44 @@ def lsh_topk(spark, sf_dir, n_queries: int = 20, k: int = 3,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("score", 6).alias("score_r")))
+
+
+QUANT_LEVELS = 127   # symmetric int8 scalar quantization
+
+
+def embedding_quantize(spark, sf_dir) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage-compression step of a 100-TB vector pipeline (4x
+    smaller than float32; IVF/LSH probes run on the codes). Per
+    vector: q_i = floor((x_i * 127.0) / maxabs), maxabs = max |x_i|.
+
+    Output pins the codes exactly: q_digest is md5 over the
+    comma-joined code list, plus order-independent integer summaries
+    (q_sum / q_min / q_max) and n_sat (codes at the ±127 rail).
+    Determinism: float->double casts are exact, the two IEEE ops per
+    element round identically in any engine, floor lands on exact
+    integers, and max/sum of BIGINTs are reduction-order-independent;
+    zero vectors quantize to all-zero codes (maxabs = 0 guard).
+
+    100-TB shape: map-only — every column is a per-row array fold in
+    whole-stage codegen; no shuffle, no UDF, nothing collected."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    d = _emb(spark, sf_dir).select(
+        "vec_id", e.alias("e"),
+        F.array_max(F.transform(e, F.abs)).alias("maxabs"))
+    lvl = F.lit(float(QUANT_LEVELS))
+    q = F.when(F.col("maxabs") == 0.0, F.transform(
+        "e", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("e", lambda x: F.floor(
+            (x * lvl) / F.col("maxabs")).cast("long")))
+    qd = d.select("vec_id", "maxabs", q.alias("q"))
+    zero = F.lit(0).cast("long")
+    sat = F.size(F.filter("q", lambda v: F.abs(v) == QUANT_LEVELS))
+    return qd.select(
+        "vec_id", "maxabs",
+        F.md5(F.concat_ws(",", F.transform(
+            "q", lambda v: v.cast("string")))).alias("q_digest"),
+        F.aggregate("q", zero, lambda a, v: a + v).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        sat.cast("long").alias("n_sat"))
