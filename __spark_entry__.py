@@ -761,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
+        "tokenize_ids": textops.tokenize_ids,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1399,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),
+        "tokenize_ids": textops.tokenize_ids_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

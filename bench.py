@@ -199,6 +199,8 @@ def main() -> int:
         from supacrawler_spark import scrapeops as _sco
         bench_q("recrawl_schedule", _sco.recrawl_schedule)
         bench_q("stratified_sample", textops.stratified_sample)
+        bench_q("bm25_topk", textops.bm25_topk)
+        bench_q("embedding_quantize", simsearch.embedding_quantize)
 
     total = round(sum(timings.values()) - timings["gen_pages"]
                   - timings["warmup"], 2)

@@ -1166,3 +1166,66 @@ def bm25_topk_oracle_sql() -> str:
         f"SELECT doc_id, score FROM (SELECT doc_id, {score} AS score "
         "FROM j) WHERE score > 0 "
         f"ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}")
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-to-ids (the final mile before training shards)
+
+TOKENIZE_VOCAB = 256
+TOKENIZE_UNK = -1
+
+
+def tokenize_ids(spark, sf_dir) -> DataFrame:
+    """Corpus tokenization to integer ids: fit a top-V frequency vocab
+    (rank by count desc, token asc — deterministic at the V boundary),
+    map every token to its id (UNK = -1), and pin each document's id
+    sequence with an md5 digest over the comma-joined ids in document
+    order. This is the step that turns curated text into trainer
+    input; the digest makes the full sequence value-checkable without
+    hashing megabyte arrays through the driver.
+
+    100-TB shape: one explode + map-side-combinable count for the
+    vocab; the id map is a broadcast join (V rows) against the token
+    stream — no shuffle on the fat side; per-doc reassembly is one
+    hash shuffle on doc_id with sort_array over (pos, id) structs
+    (positions are per-doc, so the sort is local and bounded by doc
+    length). The only driver-bounded piece is the V-row vocab rank."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(TOKENIZE_VOCAB)
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    vocab = top.select(
+        "tok", (F.row_number().over(w) - 1).cast("long").alias("tid"))
+    j = toks.join(F.broadcast(vocab), "tok", "left")
+    ids = F.transform(
+        F.sort_array(F.collect_list(F.struct(
+            "pos", F.coalesce("tid", F.lit(TOKENIZE_UNK)).alias("tid")))),
+        lambda s: s["tid"].cast("string"))
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.col("tid").isNull().cast("long")).alias("n_unk"),
+                 F.md5(F.concat_ws(",", ids)).alias("ids_digest")))
+
+
+def tokenize_ids_oracle_sql() -> str:
+    """DuckDB twin of tokenize_ids: same vocab rank rule and the same
+    in-document-order digest (list(... ORDER BY pos))."""
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "t AS (SELECT doc_id, unnest(ws) AS tok, "
+        "generate_subscripts(ws, 1) AS pos FROM w), "
+        "c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1), "
+        "v AS (SELECT tok, CAST(row_number() OVER "
+        "(ORDER BY n DESC, tok) - 1 AS BIGINT) AS tid "
+        f"FROM c ORDER BY n DESC, tok LIMIT {TOKENIZE_VOCAB}), "
+        "j AS (SELECT t.doc_id, t.pos, v.tid FROM t LEFT JOIN v "
+        "USING (tok)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN tid IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_unk, "
+        "md5(array_to_string(list(CAST(COALESCE(tid, "
+        f"{TOKENIZE_UNK}) AS VARCHAR) ORDER BY pos), ',')) AS ids_digest "
+        "FROM j GROUP BY doc_id")
