@@ -762,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
         "tokenize_ids": textops.tokenize_ids,
+        "lsh_recall": textops.lsh_recall,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -872,6 +873,36 @@ def _verified_pairs_sql_cte() -> str:
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b "
         "WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8)")
+
+
+def _lsh_recall_sql(threshold: float = 0.8, max_doc: int = 200) -> str:
+    """textops.lsh_recall twin: exact-Jaccard truth on the bounded doc
+    range vs the LSH `cand` CTE (from _verified_pairs_sql_cte; its
+    unused downstream CTEs are never evaluated). recall divides two
+    BIGINTs — one IEEE op, bit-identical."""
+    return (
+        _verified_pairs_sql_cte() + ", "
+        "tsizes AS (SELECT doc_id, count(*) AS n FROM sh "
+        f"WHERE doc_id < {max_doc} GROUP BY doc_id), "
+        "tinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        f"WHERE a.doc_id < {max_doc} AND b.doc_id < {max_doc} "
+        "GROUP BY 1, 2), "
+        "truth AS (SELECT doc_a, doc_b FROM tinter "
+        "JOIN tsizes sa ON sa.doc_id = doc_a "
+        "JOIN tsizes sb ON sb.doc_id = doc_b "
+        f"WHERE n_inter / (sa.n + sb.n - n_inter) >= {threshold}), "
+        "bc AS (SELECT doc_a, doc_b FROM cand "
+        f"WHERE doc_a < {max_doc} AND doc_b < {max_doc}), "
+        "tl AS (SELECT t.doc_a, CASE WHEN c.doc_a IS NOT NULL "
+        "THEN 1 ELSE 0 END AS hit FROM truth t LEFT JOIN bc c "
+        "ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b), "
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n_truth, "
+        "CAST(sum(hit) AS BIGINT) AS n_hit FROM tl), "
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM bc) "
+        "SELECT n_truth, n_candidates, n_hit, n_hit / n_truth AS recall "
+        "FROM st CROSS JOIN nc")
 
 
 def _dup_clusters_sql_cte() -> str:
@@ -1401,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),
         "tokenize_ids": textops.tokenize_ids_oracle_sql(),
+        "lsh_recall": _lsh_recall_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

@@ -1229,3 +1229,31 @@ def tokenize_ids_oracle_sql() -> str:
         "md5(array_to_string(list(CAST(COALESCE(tid, "
         f"{TOKENIZE_UNK}) AS VARCHAR) ORDER BY pos), ',')) AS ids_digest "
         "FROM j GROUP BY doc_id")
+
+
+def lsh_recall(spark, sf_dir, threshold: float = 0.8,
+               max_doc: int = 200) -> DataFrame:
+    """Recall diagnostic of the MinHash-LSH candidate generator against
+    exact n-gram Jaccard ground truth on the bounded doc range (the
+    text-dedup analog of simsearch.ann_recall): one row — n_truth,
+    n_candidates (bounded), n_hit, recall. This is the measurement a
+    curation pipeline uses to size bands/rows before trusting LSH at
+    full scale.
+
+    recall = n_hit / n_truth divides two exact BIGINTs, so the double
+    is bit-identical across engines. Scale shape: both inputs are the
+    existing banded/equi-join pipelines; the comparison adds one
+    equi-join on the (doc_a, doc_b) key and two 1-row aggregates."""
+    truth = ngram_jaccard_pairs(spark, sf_dir, threshold, max_doc) \
+        .select("doc_a", "doc_b")
+    cand = (minhash_lsh_pairs(spark, sf_dir)
+            .filter((F.col("doc_a") < max_doc) & (F.col("doc_b") < max_doc)))
+    tl = truth.join(cand.withColumn("hit", F.lit(1)),
+                    ["doc_a", "doc_b"], "left")
+    st = tl.agg(F.count("*").alias("n_truth"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("long").alias("n_hit"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    return (st.crossJoin(F.broadcast(nc))
+            .select("n_truth", "n_candidates", "n_hit",
+                    (F.col("n_hit") / F.col("n_truth")).alias("recall")))
