@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": textops.bm25_topk,
         "tokenize_ids": textops.tokenize_ids,
         "lsh_recall": textops.lsh_recall,
+        "containment_pairs": textops.containment_pairs,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1433,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": textops.bm25_topk_oracle_sql(),
         "tokenize_ids": textops.tokenize_ids_oracle_sql(),
         "lsh_recall": _lsh_recall_sql(),
+        "containment_pairs": textops.containment_pairs_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

@@ -1257,3 +1257,61 @@ def lsh_recall(spark, sf_dir, threshold: float = 0.8,
     return (st.crossJoin(F.broadcast(nc))
             .select("n_truth", "n_candidates", "n_hit",
                     (F.col("n_hit") / F.col("n_truth")).alias("recall")))
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def containment_pairs(spark, sf_dir, threshold: float = CONTAIN_THRESHOLD,
+                      max_doc: int = 200) -> DataFrame:
+    """One-sided containment near-dup pairs over the bounded doc
+    range: containment(A,B) = |shingles(A) ∩ shingles(B)| /
+    min(|A|,|B|) — the Broder containment score that catches a short
+    document quoted inside a long one, which symmetric Jaccard
+    dilutes below threshold. Same bounded-exactness-anchor role (and
+    the same shingle equi-join shape) as ngram_jaccard_pairs; the
+    production-scale path would scope it to LSH candidates exactly
+    like lsh_verified_pairs.
+
+    containment divides two exact BIGINTs — bit-identical doubles."""
+    sh = (shingles(_docs(spark, sf_dir).filter(F.col("doc_id") < max_doc))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    j = (inter.join(F.broadcast(sa), "doc_a")
+         .join(F.broadcast(sb), "doc_b")
+         .withColumn("containment",
+                     F.col("n_inter") / F.least("n_a", "n_b")))
+    return (j.filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "n_inter", "containment"))
+
+
+def containment_pairs_oracle_sql(threshold: float = CONTAIN_THRESHOLD,
+                                 max_doc: int = 200) -> str:
+    """DuckDB twin of containment_pairs (mirrors the ngram_jaccard
+    twin with least() in the denominator)."""
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(w)-1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+        "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+        f"WHERE doc_id < {max_doc} "
+        "AND len(string_split(text,' ')) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_inter, "
+        "n_inter / least(sa.n, sb.n) AS containment "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE n_inter / least(sa.n, sb.n) >= {threshold}")
