@@ -164,3 +164,24 @@ def test_sitemap_parse_stage_is_native(spark):
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_tokenize_ids_broadcasts_vocab(spark):
+    """The V-row vocab id map must broadcast: the token stream (the
+    fat side) joins map-side, never sort-merging on the token key."""
+    from supacrawler_spark.textops import tokenize_ids
+
+    plan = _plan(tokenize_ids(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_anchor_pairs_extraction_in_scan_stage(spark):
+    """anchor_pairs_df consumes html where it is produced: no Exchange
+    may appear below the extraction operator (html never shuffles)."""
+    from supacrawler_spark.graph import anchor_pairs_df
+    from supacrawler_spark.sources import gen_pages_df
+
+    pages, _ = gen_pages_df(spark, "/root/testdata/sf0.001", limit=20)
+    plan = _plan(anchor_pairs_df(pages))
+    assert "Exchange" not in plan, plan
