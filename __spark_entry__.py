@@ -386,6 +386,26 @@ def q_crawl_trace(spark, sf_dir):
     return run.trace
 
 
+def q_crawl_lineage(spark, sf_dir):
+    """North-rule lineage clause as a driver row: the same flagship
+    crawl with per-partition lineage collection ON, projected to its
+    deterministic marginal (results per wave — partition ids and
+    counts vary with parallelism, per-wave sums do not). The oracle is
+    the INDEPENDENT crawl_trace golden aggregated by iter: every
+    result row the engine wrote must be accounted for by the oracle's
+    scheduled set, wave by wave."""
+    from supacrawler_spark.params import CrawlParams
+    from supacrawler_spark.plans import run_crawl
+    from supacrawler_spark.sources import gen_pages_df, gen_seeds
+
+    pages_df, n_pages = gen_pages_df(spark, sf_dir, limit=150)
+    run = run_crawl(spark, pages_df, gen_seeds(n_pages, k=2),
+                    CrawlParams(depth=2, link_limit=25),
+                    collect_lineage=True)
+    return (run.lineage.groupBy("iter")
+            .agg(F.sum("rows").cast("long").alias("n_results")))
+
+
 def q_scrape_markdown(spark, sf_dir):
     """X1-X8: single-page scrape through the pipeline (extraction UDF
     output shape; byte-identity pinned by tests/test_htmlkit.py)."""
@@ -801,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screenshot_artifacts": q_screenshot_artifacts,
         # Spark-only (rows-only check)
         "crawl_trace": q_crawl_trace,
+        "crawl_lineage": q_crawl_lineage,
         "scrape_markdown": q_scrape_markdown,
         "scrape_cache_hits": q_scrape_cache_hits,
         "media_metadata": q_media_metadata,
@@ -1818,6 +1839,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trace": (
             "SELECT crawl_ord, iter, depth, url, status_code FROM "
             f"'{_GOLDENS}/crawl_trace_sf001.parquet'"),
+        # lineage marginal == the independent trace golden's per-wave
+        # cardinality (every engine-written result row accounted for)
+        "crawl_lineage": (
+            "SELECT iter, CAST(count(*) AS BIGINT) AS n_results FROM "
+            f"'{_GOLDENS}/crawl_trace_sf001.parquet' GROUP BY iter"),
         "scrape_markdown": (
             "SELECT url, status_code, success, title, discovered FROM "
             f"'{_GOLDENS}/scrape_markdown_sf001.parquet'"),
