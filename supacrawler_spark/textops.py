@@ -1315,3 +1315,102 @@ def containment_pairs_oracle_sql(threshold: float = CONTAIN_THRESHOLD,
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b "
         f"WHERE n_inter / least(sa.n, sb.n) >= {threshold}")
+
+
+# Jaccard threshold 0.8 as an integer ratio: float literals like 0.8
+# are not exactly representable, so the gate is cross-multiplied
+# (DEN*n_inter >= NUM*(n_a+n_b-n_inter)) — exact in both engines.
+ALLPAIRS_NUM = 4
+ALLPAIRS_DEN = 5
+
+
+def allpairs_jaccard(spark, sf_dir) -> DataFrame:
+    """EXACT all-pairs Jaccard >= 4/5 over the FULL corpus via prefix
+    filtering (Bayardo et al., WWW'07; the TokenJoin/LCJoin family's
+    baseline): order each doc's shingles by global rarity, index only
+    the first n - ceil(tau*n) + 1 of them, and join on those prefix
+    shingles — any pair with J >= tau MUST collide in the prefixes, so
+    unlike MinHash-LSH this loses nothing, while the join touches a
+    small, rare-token slice instead of every shingle. Candidates then
+    get the same scoped exact verification as lsh_verified_pairs.
+
+    The driver oracle is the brute-force all-pairs self-join (DuckDB,
+    sf0.01) — it replicates the SEMANTICS, not the optimization, so a
+    prefix-filter bug (wrong length, wrong order) shows up as a
+    missing/extra pair.
+
+    100-TB shape: rarity ranking is one count shuffle + a per-doc
+    window (local top within doc_id partitions); the candidate join
+    keys on rare shingles only — by construction each prefix shingle
+    appears in few docs, so the equi-join is skew-resistant where a
+    full shingle self-join would square the hot-shingle buckets."""
+    return allpairs_jaccard_from(_docs(spark, sf_dir))
+
+
+def allpairs_jaccard_from(docs) -> DataFrame:
+    """allpairs_jaccard over an arbitrary (doc_id, text) DataFrame —
+    split out so the property suite can fuzz random corpora."""
+    sh = shingles(docs).distinct()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("gf"))
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
+    ranked = (sh.join(freq, "shingle")
+              .select("doc_id", "shingle", "gf",
+                      F.row_number().over(w).alias("pos")))
+    # prefix_len = n - ceil(NUM*n/DEN) + 1, all in integers
+    ceil_tau_n = F.expr(
+        f"(({ALLPAIRS_NUM} * n + {ALLPAIRS_DEN} - 1)) DIV {ALLPAIRS_DEN}")
+    pref = (ranked.join(F.broadcast(sized), "doc_id")
+            .filter(F.col("pos") <= F.col("n") - ceil_tau_n + 1)
+            .select("doc_id", "shingle"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    # scoped exact verification (same shape as lsh_verified_pairs)
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    va = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    vb = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (va.join(F.broadcast(cand), "doc_a")
+             .join(vb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sized.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    j = (inter.join(F.broadcast(sa), "doc_a")
+         .join(F.broadcast(sb), "doc_b"))
+    gate = (F.lit(ALLPAIRS_DEN) * F.col("n_inter")
+            >= F.lit(ALLPAIRS_NUM)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    return (j.filter(gate)
+            .select("doc_a", "doc_b", "n_inter",
+                    (F.col("n_inter") /
+                     (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+def allpairs_jaccard_oracle_sql() -> str:
+    """Brute-force all-pairs twin (semantics, not the optimization):
+    full shingle self-join + the same integer-ratio gate."""
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(w)-1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+        "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+        "WHERE len(string_split(text,' ')) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_inter, "
+        "n_inter / (sa.n + sb.n - n_inter) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE {ALLPAIRS_DEN} * n_inter >= "
+        f"{ALLPAIRS_NUM} * (sa.n + sb.n - n_inter)")
