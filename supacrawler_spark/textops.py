@@ -590,16 +590,17 @@ def decontam_overlap(spark, sf_dir, n: int = 4,
     Scale shape: a real benchmark is megabytes against a 100-TB
     corpus, so its distinct n-gram set broadcasts and the check is a
     map-side broadcast join on the gram — the corpus never shuffles.
-    Grams are md5-hashed so the broadcast table carries 32-byte keys,
-    not raw text."""
+    Grams are hashed so the broadcast table and the distincts carry
+    8-byte xxhash64 keys, not raw text (no hash reaches the output —
+    the twin compares counts of equal grams)."""
     docs = _docs(spark, sf_dir)
     is_bench = F.col("doc_id") % bench_mod == 0
     bench = (_ngrams(docs.filter(is_bench), n)
-             .select(F.md5("gram").alias("gh"),
+             .select(F.xxhash64("gram").alias("gh"),
                      F.col("doc_id").alias("bench_doc_id"))
              .distinct())
     corpus = (_ngrams(docs.filter(~is_bench), n)
-              .select("doc_id", F.md5("gram").alias("gh"))
+              .select("doc_id", F.xxhash64("gram").alias("gh"))
               .distinct())
     return (corpus.join(F.broadcast(bench), "gh")
             .groupBy("doc_id")
