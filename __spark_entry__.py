@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": textops.lsh_recall,
         "containment_pairs": textops.containment_pairs,
         "allpairs_jaccard": textops.allpairs_jaccard,
+        "allpairs_containment": textops.allpairs_containment,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1458,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall": _lsh_recall_sql(),
         "containment_pairs": textops.containment_pairs_oracle_sql(),
         "allpairs_jaccard": textops.allpairs_jaccard_oracle_sql(),
+        "allpairs_containment": textops.allpairs_containment_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

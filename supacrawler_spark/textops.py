@@ -1419,3 +1419,89 @@ def allpairs_jaccard_oracle_sql() -> str:
         "JOIN sizes sb ON sb.doc_id = doc_b "
         f"WHERE {ALLPAIRS_DEN} * n_inter >= "
         f"{ALLPAIRS_NUM} * (sa.n + sb.n - n_inter)")
+
+
+# containment threshold 3/5 = 0.6 as an exact integer ratio
+CONTAIN_NUM = 3
+CONTAIN_DEN = 5
+
+
+def allpairs_containment(spark, sf_dir) -> DataFrame:
+    """EXACT all-pairs set-containment join over the FULL corpus:
+    pairs with containment |A∩B| / min(|A|,|B|) >= 3/5 (the LCJoin /
+    set-containment-join problem, ICDE'19). Asymmetric prefix filter:
+    with |A| <= |B| and C >= tau, the overlap is >= ceil(tau*|A|), so
+    A's rarity-ordered prefix of length |A| - ceil(tau*|A|) + 1 must
+    hit A∩B ⊆ B — candidates come from joining every doc's PREFIX
+    against every doc's FULL shingle set (not prefix×prefix as in the
+    symmetric Jaccard case, because B's intersecting token can sit
+    anywhere in B). Verification is the scoped exact intersection with
+    the integer-ratio gate (no float threshold compare).
+
+    The driver oracle is the brute-force full self-join — semantics,
+    not the optimization.
+
+    100-TB shape: the candidate join keys on rare prefix shingles
+    (small gf), so per-key products stay tiny where a full self-join
+    squares hot shingles; verification touches candidate docs only."""
+    sh = shingles(_docs(spark, sf_dir)).distinct()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("gf"))
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
+    ranked = (sh.join(freq, "shingle")
+              .select("doc_id", "shingle",
+                      F.row_number().over(w).alias("pos")))
+    ceil_tau_n = F.expr(
+        f"(({CONTAIN_NUM} * n + {CONTAIN_DEN} - 1)) DIV {CONTAIN_DEN}")
+    pref = (ranked.join(F.broadcast(sized), "doc_id")
+            .filter(F.col("pos") <= F.col("n") - ceil_tau_n + 1)
+            .select(F.col("doc_id").alias("p_doc"), "shingle"))
+    full = sh.select(F.col("doc_id").alias("f_doc"), "shingle")
+    cand = (pref.join(full, "shingle")
+            .filter(F.col("p_doc") != F.col("f_doc"))
+            .select(F.least("p_doc", "f_doc").alias("doc_a"),
+                    F.greatest("p_doc", "f_doc").alias("doc_b"))
+            .distinct())
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    va = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
+    vb = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (va.join(F.broadcast(cand), "doc_a")
+             .join(vb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sa = sized.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    j = (inter.join(F.broadcast(sa), "doc_a")
+         .join(F.broadcast(sb), "doc_b"))
+    gate = (F.lit(CONTAIN_DEN) * F.col("n_inter")
+            >= F.lit(CONTAIN_NUM) * F.least("n_a", "n_b"))
+    return (j.filter(gate)
+            .select("doc_a", "doc_b", "n_inter",
+                    (F.col("n_inter") / F.least("n_a", "n_b"))
+                    .alias("containment")))
+
+
+def allpairs_containment_oracle_sql() -> str:
+    """Brute-force full-corpus containment twin with the same
+    integer-ratio gate."""
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, "
+        "unnest(list_transform(range(1, len(w)-1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+        "FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents "
+        "WHERE len(string_split(text,' ')) >= 3)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_inter FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, n_inter, "
+        "n_inter / least(sa.n, sb.n) AS containment "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE {CONTAIN_DEN} * n_inter >= "
+        f"{CONTAIN_NUM} * least(sa.n, sb.n)")

@@ -61,3 +61,21 @@ def test_allpairs_fuzz_prefix_filter_is_lossless(spark):
         want = _brute(docs)
         got = _run(spark, docs)
         assert got == want, f"trial {trial}: {got.keys()} != {want.keys()}"
+
+
+def test_allpairs_containment_fixture_matches_brute_force(spark):
+    docs = {r["doc_id"]: r["text"]
+            for r in textops._docs(spark, SF_DIR).collect()}
+    shs = {d: _sh(t) for d, t in docs.items() if _sh(t)}
+    cn, cd = textops.CONTAIN_NUM, textops.CONTAIN_DEN
+    want = {}
+    ids = sorted(shs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(shs[a] & shs[b])
+            m = min(len(shs[a]), len(shs[b]))
+            if inter and cd * inter >= cn * m:
+                want[(a, b)] = (inter, inter / m)
+    got = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["containment"])
+           for r in textops.allpairs_containment(spark, SF_DIR).collect()}
+    assert got == want
