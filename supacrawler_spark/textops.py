@@ -1505,3 +1505,79 @@ def allpairs_containment_oracle_sql() -> str:
         "JOIN sizes sb ON sb.doc_id = doc_b "
         f"WHERE {CONTAIN_DEN} * n_inter >= "
         f"{CONTAIN_NUM} * least(sa.n, sb.n)")
+
+
+PACK_WINDOW = 512
+
+
+def pack_windows(spark, sf_dir, window: int = PACK_WINDOW) -> DataFrame:
+    """Sequence packing (the GPT concatenate-then-chunk trainer prep):
+    documents are concatenated in doc_id order into one token stream,
+    chunked into fixed ``window``-token training windows; emits one
+    row per window — n_docs spanned, first/last doc, and the exact
+    token count (== window everywhere but the tail). Boundary docs
+    straddle windows, as in production packing.
+
+    The global token offset is an EXCLUSIVE PREFIX SUM computed
+    two-phase (range-partition by doc_id -> local cumsum -> broadcast
+    per-partition carries), the operators.rank discipline — no
+    single-task global window, so the plan holds at 10^10 docs. All
+    outputs are exact BIGINTs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"))
+    spark_ = d.sparkSession
+    n_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+    part = (d.repartitionByRange(n_parts, "doc_id")
+            .withColumn("_pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("_pid").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    part = part.withColumn(
+        "_lsum", F.coalesce(F.sum("n").over(w_local), F.lit(0))).persist()
+    totals = part.groupBy("_pid").agg(F.sum("n").alias("_cnt"))
+    w_prefix = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    carries = totals.withColumn(
+        "_carry", F.coalesce(F.sum("_cnt").over(w_prefix), F.lit(0)))
+    s = (part.join(F.broadcast(carries.select("_pid", "_carry")), "_pid")
+         .select("doc_id", "n",
+                 (F.col("_carry") + F.col("_lsum")).alias("start_off")))
+    s = (s.withColumn("end_off", F.col("start_off") + F.col("n"))
+         .withColumn("fw", F.expr(f"start_off DIV {window}"))
+         .withColumn("lw", F.expr(f"(end_off - 1) DIV {window}")))
+    e = s.select("doc_id", "start_off", "end_off",
+                 F.explode(F.sequence("fw", "lw")).alias("window_id"))
+    lo = F.col("window_id") * window
+    hi = (F.col("window_id") + 1) * window
+    tok_in = (F.least(F.col("end_off"), hi)
+              - F.greatest(F.col("start_off"), lo))
+    out = (e.groupBy("window_id")
+           .agg(F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("first_doc"),
+                F.max("doc_id").alias("last_doc"),
+                F.sum(tok_in).alias("n_tokens")))
+    part.unpersist()
+    return out
+
+
+def pack_windows_oracle_sql(window: int = PACK_WINDOW) -> str:
+    """DuckDB twin of pack_windows: single-window prefix sum (the
+    semantics; the Spark side's two-phase decomposition must be
+    invisible in the result)."""
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+        "FROM documents), "
+        "o AS (SELECT doc_id, n, CAST(COALESCE(sum(n) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0) AS BIGINT) AS start_off FROM d), "
+        "s AS (SELECT doc_id, start_off, start_off + n AS end_off, "
+        f"start_off // {window} AS fw, "
+        f"(start_off + n - 1) // {window} AS lw FROM o), "
+        "e AS (SELECT doc_id, start_off, end_off, "
+        "unnest(range(fw, lw + 1)) AS window_id FROM s) "
+        "SELECT window_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc, "
+        f"CAST(sum(least(end_off, (window_id + 1) * {window}) - "
+        f"greatest(start_off, window_id * {window})) AS BIGINT) "
+        "AS n_tokens FROM e GROUP BY 1")
