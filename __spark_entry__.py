@@ -497,6 +497,27 @@ def q_parse_robots(spark, sf_dir):
     return robotskit.parse_robots_rules(df)
 
 
+def q_politeness_budget(spark, sf_dir):
+    """The round-4 delay-budget rule through the ACTUAL engine path
+    (plans.crawl.effective_politeness over the robotskit dim): B_eff =
+    min(default 10, ceil(10000ms window / Crawl-delay)). The twin
+    mirrors the fixture's a-priori delay pattern (even hids,
+    (1 + hid%5) seconds) and the integer ceil."""
+    from supacrawler_spark import robotskit
+    from supacrawler_spark.plans.crawl import effective_politeness
+    from supacrawler_spark.sources.synth import host_name, n_hosts
+
+    rows = [(host_name(h), robotskit.synth_robots_txt(h))
+            for h in range(n_hosts())]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    robots = robotskit.robots_df_from_texts(df)
+    eff = effective_politeness(None, robots, wave_window_ms=10_000,
+                               default_host_budget=10)
+    return eff.select("host",
+                      F.col("max_parallel").cast("int")
+                      .alias("max_parallel"))
+
+
 def q_robots_sitemaps(spark, sf_dir):
     """Sitemap discovery from robots.txt bodies (robotskit
     .robots_sitemaps): every fixture host declares one Sitemap line
@@ -834,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "audio_metadata": q_audio_metadata,
         "parse_robots": q_parse_robots,
+        "politeness_budget": q_politeness_budget,
         # streaming (stateful first-seen; batch-projection oracle)
         "stream_first_seen": q_stream_first_seen,
         "stream_host_budget": q_stream_host_budget,
@@ -1777,6 +1799,16 @@ def oracle_sql() -> dict[str, str]:
         # F5 robots.txt parser: the oracle re-derives the rule rows
         # from the fixture's a-priori pattern (hot host = hid 0;
         # even hids: the specific agent group shades '*')
+        # the delay-budget fold (even hids carry Crawl-delay
+        # (1 + hid%5) s; B_eff = min(10, intceil(10000 / delay_ms)))
+        "politeness_budget": (
+            "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "
+            "CASE WHEN t.x = 0 THEN 'hot.example.org' "
+            "ELSE 'h' || t.x || '.example.org' END AS host "
+            "FROM range(42) t(x)) "
+            "SELECT host, CAST(least(10, (10000 + d - 1) // d) AS INT) "
+            "AS max_parallel FROM (SELECT host, "
+            "(1 + hid % 5) * 1000 AS d FROM h WHERE hid % 2 = 0)"),
         "parse_robots": (
             "WITH h AS (SELECT CAST(t.x AS BIGINT) AS hid, "
             "CASE WHEN t.x = 0 THEN 'hot.example.org' "

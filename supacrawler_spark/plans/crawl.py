@@ -316,6 +316,54 @@ class _SeedSet:
                 .withColumn(out, F.coalesce(F.col(out), F.lit(False))))
 
 
+def effective_politeness(politeness_df, robots_df, wave_window_ms: int,
+                         default_host_budget: int):
+    """Fold per-host delays into the per-wave politeness budget
+    (VERDICT r3 #3): effective delay = greatest(politeness delay_ms,
+    robots Crawl-delay), and B_eff(host) = min(max_parallel,
+    ceil(wave_window_ms / delay)) — the batch determinization of
+    colly's per-request delay (RandomDelay <=500ms,
+    mapper/service.go:93,122) and RFC-9309 Crawl-delay (robotskit).
+    ceil is computed in integer arithmetic ((W + d - 1) / d,
+    truncating cast) and mirrored exactly by oracle.py and the
+    politeness_budget driver twin. A host with delay > window still
+    gets 1 slot per wave — delays slow a host, never starve it.
+
+    Returns the effective (host, max_parallel) dim, or None when
+    neither input carries politeness state."""
+    W = wave_window_ms
+    delay_dim = None
+    if robots_df is not None and "crawl_delay_ms" in robots_df.columns:
+        delay_dim = (robots_df.filter(F.col("crawl_delay_ms").isNotNull())
+                     .select("host", F.col("crawl_delay_ms").cast("int")
+                             .alias("crawl_delay_ms")))
+    has_pol_delay = (politeness_df is not None
+                     and "delay_ms" in politeness_df.columns)
+    if delay_dim is None and not has_pol_delay:
+        return politeness_df
+    if politeness_df is None:
+        merged = delay_dim.select(
+            "host", F.lit(None).cast("int").alias("max_parallel"),
+            F.lit(None).cast("int").alias("delay_ms"),
+            "crawl_delay_ms")
+    else:
+        merged = politeness_df.select(
+            "host", "max_parallel",
+            (F.col("delay_ms").cast("int") if has_pol_delay
+             else F.lit(None).cast("int")).alias("delay_ms"))
+        merged = (merged.withColumn("crawl_delay_ms",
+                                    F.lit(None).cast("int"))
+                  if delay_dim is None
+                  else merged.join(delay_dim, "host", "full_outer"))
+    eff_delay = F.greatest("delay_ms", "crawl_delay_ms")
+    b0 = F.coalesce(F.col("max_parallel"), F.lit(default_host_budget))
+    b_eff = F.when(
+        eff_delay > 0,
+        F.least(b0, ((F.lit(W) + eff_delay - 1) / eff_delay)
+                .cast("int"))).otherwise(b0)
+    return merged.select("host", b_eff.alias("max_parallel"))
+
+
 def run_crawl(
     spark: SparkSession,
     pages_df: DataFrame,
@@ -445,46 +493,10 @@ def run_crawl(
     # is tiny at any scale.
     max_budget = default_host_budget
     # Per-host delays fold into the budget BEFORE the collapse below
-    # (VERDICT r3 #3): effective delay = greatest(politeness delay_ms,
-    # robots Crawl-delay), and B_eff(host) = min(max_parallel,
-    # ceil(wave_window_ms / delay)) — the batch determinization of
-    # colly's per-request delay (RandomDelay <=500ms,
-    # mapper/service.go:93,122) and RFC-9309 Crawl-delay (robotskit).
-    # ceil is computed in integer arithmetic ((W + d - 1) / d,
-    # truncating cast) and mirrored exactly by oracle.py. A host with
-    # delay > window still gets 1 slot per wave — delays slow a host,
-    # never starve it.
-    W = params.wave_window_ms
-    delay_dim = None
-    if robots_df is not None and "crawl_delay_ms" in robots_df.columns:
-        delay_dim = (robots_df.filter(F.col("crawl_delay_ms").isNotNull())
-                     .select("host", F.col("crawl_delay_ms").cast("int")
-                             .alias("crawl_delay_ms")))
-    has_pol_delay = (politeness_df is not None
-                     and "delay_ms" in politeness_df.columns)
-    pol_eff = politeness_df
-    if delay_dim is not None or has_pol_delay:
-        if politeness_df is None:
-            merged = delay_dim.select(
-                "host", F.lit(None).cast("int").alias("max_parallel"),
-                F.lit(None).cast("int").alias("delay_ms"),
-                "crawl_delay_ms")
-        else:
-            merged = politeness_df.select(
-                "host", "max_parallel",
-                (F.col("delay_ms").cast("int") if has_pol_delay
-                 else F.lit(None).cast("int")).alias("delay_ms"))
-            merged = (merged.withColumn("crawl_delay_ms",
-                                        F.lit(None).cast("int"))
-                      if delay_dim is None
-                      else merged.join(delay_dim, "host", "full_outer"))
-        eff_delay = F.greatest("delay_ms", "crawl_delay_ms")
-        b0 = F.coalesce(F.col("max_parallel"), F.lit(default_host_budget))
-        b_eff = F.when(
-            eff_delay > 0,
-            F.least(b0, ((F.lit(W) + eff_delay - 1) / eff_delay)
-                    .cast("int"))).otherwise(b0)
-        pol_eff = merged.select("host", b_eff.alias("max_parallel"))
+    # (semantics + citations: effective_politeness docstring).
+    pol_eff = effective_politeness(politeness_df, robots_df,
+                                   params.wave_window_ms,
+                                   default_host_budget)
     pol_arg = pol_eff
     if pol_eff is not None:
         # Small dims (the norm: one row per throttled host) collapse to
