@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_pair_distances": simsearch.label_pair_distances,
         "ann_recall": simsearch.ann_recall,
         "embedding_quantize": simsearch.embedding_quantize,
+        "pq_codes": simsearch.pq_codes,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -1869,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(list_max(q) AS BIGINT) AS q_max, "
             "CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) "
             "AS n_sat FROM qv"),
+        "pq_codes": simsearch.pq_codes_oracle_sql(),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a
         # priori by the independent pure-Python oracle (oracle.py);

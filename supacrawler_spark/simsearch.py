@@ -350,3 +350,81 @@ def embedding_quantize(spark, sf_dir) -> DataFrame:
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
         sat.cast("long").alias("n_sat"))
+
+
+PQ_M = 4   # product-quantization subspaces (DIM/PQ_M dims each)
+
+
+def pq_codes(spark, sf_dir, m: int = PQ_M) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): split each
+    embedding into ``m`` subvectors and code each against a
+    per-subspace codebook — the memory-bound ANN representation
+    (m bytes/vector where float32 takes 4·DIM). Deterministic
+    variant: codebooks are the per-label integer-grid centroids of
+    each SLICE (the IVF coarse-quantizer trick per subspace);
+    assignment is argmax inner product with ties to the smallest
+    code, exactly the ivf_topk assignment rule.
+
+    100-TB shape: all m codebooks are tiny broadcasts; per-subspace
+    scoring is map-side (crossJoin against the broadcast, map-side-
+    combinable max(struct) argmax); the m assignment tables re-join
+    on vec_id — m slim hash joins on a uniform key, and the fat
+    vector column never shuffles."""
+    d = DIM // m
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    out = None
+    for s in range(m):
+        sub = emb.select("vec_id", "label",
+                         F.slice("v", s * d + 1, d).alias("v"))
+        cent = _centroids(sub.drop("vec_id")).select(
+            F.col("label").alias("code"), "c")
+        asg = (sub.drop("label")
+               .crossJoin(F.broadcast(cent))
+               .select("vec_id", F.struct(
+                   _dot(F.col("v"), F.col("c")).alias("score"),
+                   (-F.col("code")).alias("nc")).alias("sc"))
+               .groupBy("vec_id").agg(F.max("sc").alias("mx"))
+               .select("vec_id",
+                       (-F.col("mx.nc")).cast("int").alias(f"code{s}")))
+        out = asg if out is None else out.join(asg, "vec_id")
+    return out
+
+
+def pq_codes_oracle_sql(m: int = PQ_M) -> str:
+    """DuckDB twin of pq_codes: per-subspace slice -> integer-grid
+    centroid -> argmax-dot assignment (rk=1 with the same tiebreak)."""
+    d = DIM // m
+    ctes = ["e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    sel, joins = [], []
+    for s in range(m):
+        a, b = s * d + 1, s * d + d
+        ctes.append(
+            f"x{s} AS (SELECT label, "
+            f"generate_subscripts(v[{a}:{b}], 1) AS pos, "
+            f"unnest(v[{a}:{b}]) AS val FROM e)")
+        ctes.append(
+            f"s{s} AS (SELECT label, pos, "
+            "CAST(sum(CAST(CAST(val AS DECIMAL(20,10)) "
+            "* CAST(10000000000 AS DECIMAL(11,0)) AS BIGINT)) AS BIGINT) "
+            f"AS se10, count(*) AS n FROM x{s} GROUP BY label, pos)")
+        ctes.append(
+            f"c{s} AS (SELECT label AS code, "
+            "list(CAST(se10 AS DOUBLE) / (n * 10000000000) ORDER BY pos) "
+            f"AS c FROM s{s} GROUP BY label)")
+        ctes.append(
+            f"r{s} AS (SELECT vec_id, code, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY "
+            f"list_inner_product(e.v[{a}:{b}], c{s}.c) DESC, code) "
+            f"AS rk FROM e CROSS JOIN c{s})")
+        ctes.append(
+            f"a{s} AS (SELECT vec_id, CAST(code AS INT) AS code{s} "
+            f"FROM r{s} WHERE rk = 1)")
+        sel.append(f"code{s}")
+        if s:
+            joins.append(f"JOIN a{s} USING (vec_id)")
+    return ("WITH " + ", ".join(ctes) +
+            f" SELECT vec_id, {', '.join(sel)} FROM a0 " +
+            " ".join(joins))
