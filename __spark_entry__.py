@@ -836,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": simsearch.ann_recall,
         "embedding_quantize": simsearch.embedding_quantize,
         "pq_codes": simsearch.pq_codes,
+        "pq_topk": simsearch.pq_topk,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -1871,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) "
             "AS n_sat FROM qv"),
         "pq_codes": simsearch.pq_codes_oracle_sql(),
+        "pq_topk": simsearch.pq_topk_oracle_sql(),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a
         # priori by the independent pure-Python oracle (oracle.py);

@@ -428,3 +428,73 @@ def pq_codes_oracle_sql(m: int = PQ_M) -> str:
     return ("WITH " + ", ".join(ctes) +
             f" SELECT vec_id, {', '.join(sel)} FROM a0 " +
             " ".join(joins))
+
+
+def pq_topk(spark, sf_dir, n_queries: int = 20, k: int = 3,
+            m: int = PQ_M) -> DataFrame:
+    """ANN via product quantization: queries scan the corpus's PQ
+    CODES (asymmetric distance computation — the query stays exact,
+    each corpus vector is its m-centroid reconstruction) and rank by
+    cosine against the reconstruction. This is the memory-bound ANN
+    regime: the scan touches m small ints per vector instead of DIM
+    floats, the codebooks live in broadcast.
+
+    Scale shape: corpus codes join their m broadcast codebooks
+    map-side (reconstruction never shuffles); the 20-row query set
+    broadcasts; per-query top-k is the bounded window. Rounded to 6
+    decimals like ivf_topk for cross-engine display stability."""
+    d = DIM // m
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    codes = pq_codes(spark, sf_dir, m)
+    recon = codes.filter(F.col("vec_id") >= n_queries)
+    for s in range(m):
+        sub = emb.select("label", F.slice("v", s * d + 1, d).alias("v"))
+        cent = _centroids(sub).select(
+            F.col("label").alias(f"code{s}"), F.col("c").alias(f"c{s}"))
+        recon = recon.join(F.broadcast(cent), f"code{s}")
+    rv = F.concat(*[F.col(f"c{s}") for s in range(m)])
+    corpus = recon.select(F.col("vec_id").alias("neighbor_id"),
+                          rv.alias("rv"))
+    queries = (emb.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv")))
+    scored = (corpus.crossJoin(F.broadcast(queries))
+              .withColumn("score",
+                          _dot(F.col("qv"), F.col("rv")) /
+                          (_norm(F.col("qv")) * _norm(F.col("rv")))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    F.round("score", 6).alias("score_r")))
+
+
+def pq_topk_oracle_sql(n_queries: int = 20, k: int = 3,
+                       m: int = PQ_M) -> str:
+    """DuckDB twin of pq_topk: the pq_codes CTE chain + codebook
+    reconstruction (list concat) + cosine ranking."""
+    d = DIM // m
+    pq = pq_codes_oracle_sql(m)
+    ctes = pq[len("WITH "):pq.index(" SELECT vec_id,")]
+    recon_joins = " ".join(
+        f"JOIN c{s} ON c{s}.code = a{s}.code{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN a{s} USING (vec_id)" for s in range(1, m))
+    rv = " || ".join(f"c{s}.c" for s in range(m))
+    return (
+        "WITH " + ctes + ", "
+        f"recon AS (SELECT vec_id AS neighbor_id, {rv} AS rv "
+        f"FROM a0 {code_joins} {recon_joins} "
+        f"WHERE vec_id >= {n_queries}), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e "
+        f"WHERE vec_id < {n_queries}), "
+        "sc AS (SELECT query_id, neighbor_id, "
+        "list_cosine_similarity(qv, rv) AS score FROM recon CROSS JOIN q), "
+        "r AS (SELECT query_id, neighbor_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+        "FROM sc) "
+        "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, "
+        f"round(score, 6) AS score_r FROM r WHERE rank <= {k}")
