@@ -823,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_degree_stats": graph.host_degree_stats,
         "anchor_text": graph.anchor_text,
         "hits_hosts": graph.hits_hosts,
+        "host_gini": graph.host_gini,
         # parse data plane
         "parse_prep": parseops.parse_prep,
         "parse_templates": parseops.parse_templates,
@@ -1424,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": _pagerank_sql(),
         "trustrank_hosts": _trustrank_sql(),
         "hits_hosts": _hits_sql(),
+        "host_gini": graph.host_gini_oracle_sql(),
         "host_degree_stats": (
             _HOST_EDGES_SQL +
             ", o AS (SELECT src AS host, count(*) AS out_degree, "

@@ -289,3 +289,49 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     edges.unpersist()
     hosts.unpersist()
     return out.select("host", "hub_fp", "authority_fp")
+
+
+def host_gini(spark, sf_dir) -> DataFrame:
+    """Crawl-skew fairness index: the Gini coefficient of the per-host
+    load distribution — the one-number skew diagnostic a frontier
+    scheduler publishes per wave (0 = perfectly even hosts, →1 = one
+    hot host takes everything; the politeness budget exists to push
+    this down). Computed with the exact sorted-rank identity
+    G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) — every term an exact BIGINT,
+    one IEEE division at the end, so the double is bit-identical.
+
+    100-TB shape: per-host loads are one map-side-combinable count;
+    the rank runs over the |hosts| slim rollup (bounded; two-phase
+    rank at 10^8 hosts per operators.rank), and the final fold is a
+    1-row aggregate."""
+    ev = _events(spark, sf_dir)
+    loads = (ev.select(F.concat(F.lit("h"), (F.col("user_id") % 32)
+                                .cast("string")).alias("host"))
+             .groupBy("host").agg(F.count("*").alias("x")))
+    from pyspark.sql import Window
+    w = Window.orderBy("x", "host")
+    ranked = loads.select("x", F.row_number().over(w).alias("i"))
+    return (ranked.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("iwx"))
+        .select("n_hosts", "total",
+                ((F.lit(2) * F.col("iwx")
+                  - (F.col("n_hosts") + 1) * F.col("total"))
+                 / (F.col("n_hosts") * F.col("total"))).alias("gini")))
+
+
+def host_gini_oracle_sql() -> str:
+    """DuckDB twin of host_gini — same rank order (x, host) and the
+    same integer identity."""
+    return (
+        "WITH loads AS (SELECT 'h' || CAST(user_id % 32 AS VARCHAR) "
+        "AS host, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "ranked AS (SELECT x, CAST(row_number() OVER (ORDER BY x, host) "
+        "AS BIGINT) AS i FROM loads), "
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_hosts, "
+        "CAST(sum(x) AS BIGINT) AS total, "
+        "CAST(sum(i * x) AS BIGINT) AS iwx FROM ranked) "
+        "SELECT n_hosts, total, "
+        "(2 * iwx - (n_hosts + 1) * total) / (n_hosts * total) AS gini "
+        "FROM agg")
