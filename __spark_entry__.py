@@ -838,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": simsearch.embedding_quantize,
         "pq_codes": simsearch.pq_codes,
         "pq_topk": simsearch.pq_topk,
+        "pq_recall": simsearch.pq_recall,
         # scrape-service page diagnostics
         "cloudflare_detect": q_cloudflare_detect,
         "js_change_detect": q_js_change_detect,
@@ -1180,6 +1181,25 @@ def _ivf_sql(n_queries: int = 20, k: int = 3, n_probe: int = 2) -> str:
         "AS rank FROM sc) "
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id "
         f"FROM r WHERE rank <= {k}")
+
+
+def _pq_recall_sql(n_queries: int = 20, k: int = 3) -> str:
+    """simsearch.pq_recall twin: the exact and PQ/ADC rankings as
+    parenthesized WITH-subqueries joined on (query_id, neighbor_id);
+    recall divides two BIGINTs."""
+    exact = _cosine_sql(ann=False, n_queries=n_queries, k=k)
+    pq = simsearch.pq_topk_oracle_sql(n_queries=n_queries, k=k)
+    return (
+        "WITH ex AS (SELECT query_id, neighbor_id FROM "
+        f"({exact})), "
+        f"pqr AS (SELECT query_id, neighbor_id FROM ({pq})), "
+        "j AS (SELECT e.query_id, CASE WHEN p.neighbor_id IS NOT NULL "
+        "THEN 1 ELSE 0 END AS hit FROM ex e LEFT JOIN pqr p "
+        "ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id) "
+        "SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact, "
+        "CAST(sum(hit) AS BIGINT) AS n_hit, "
+        "CAST(sum(hit) AS BIGINT) / CAST(count(*) AS BIGINT) AS recall "
+        "FROM j GROUP BY query_id")
 
 
 def _near_dup_sql() -> str:
@@ -1875,6 +1895,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_sat FROM qv"),
         "pq_codes": simsearch.pq_codes_oracle_sql(),
         "pq_topk": simsearch.pq_topk_oracle_sql(),
+        "pq_recall": _pq_recall_sql(),
         # The iterative crawl and the UDF-kernel scrape are not
         # SQL-expressible, but their expected outputs ARE computable a
         # priori by the independent pure-Python oracle (oracle.py);

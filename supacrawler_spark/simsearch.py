@@ -498,3 +498,22 @@ def pq_topk_oracle_sql(n_queries: int = 20, k: int = 3,
         "FROM sc) "
         "SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, "
         f"round(score, 6) AS score_r FROM r WHERE rank <= {k}")
+
+
+def pq_recall(spark, sf_dir, n_queries: int = 20, k: int = 3) -> DataFrame:
+    """Recall@k of the PQ/ADC path against the exact top-k — the
+    compression-quality diagnostic published before trusting the
+    codes at scale (completes the ann_recall family for the third
+    index type). Per query: n_exact, n_hit, recall — exact integers
+    and one IEEE division."""
+    exact = cosine_topk(spark, sf_dir, n_queries=n_queries, k=k) \
+        .select("query_id", "neighbor_id")
+    pq = pq_topk(spark, sf_dir, n_queries=n_queries, k=k) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    j = exact.join(pq, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.count("*").alias("n_exact"),
+                 F.sum(F.coalesce("hit", F.lit(0)))
+                 .cast("long").alias("n_hit"))
+            .select("query_id", "n_exact", "n_hit",
+                    (F.col("n_hit") / F.col("n_exact")).alias("recall")))
