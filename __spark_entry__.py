@@ -808,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard": textops.allpairs_jaccard,
         "allpairs_containment": textops.allpairs_containment,
         "pack_windows": textops.pack_windows,
+        "cms_token_counts": textops.cms_token_counts,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1508,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_jaccard": textops.allpairs_jaccard_oracle_sql(),
         "allpairs_containment": textops.allpairs_containment_oracle_sql(),
         "pack_windows": textops.pack_windows_oracle_sql(),
+        "cms_token_counts": textops.cms_token_counts_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

@@ -1581,3 +1581,81 @@ def pack_windows_oracle_sql(window: int = PACK_WINDOW) -> str:
         f"CAST(sum(least(end_off, (window_id + 1) * {window}) - "
         f"greatest(start_off, window_id * {window})) AS BIGINT) "
         "AS n_tokens FROM e GROUP BY 1")
+
+
+CMS_D = 4    # count-min sketch: d hash rows
+CMS_W = 16   # w columns (one md5 hex digit — portable to any engine)
+CMS_TOPN = 50
+
+
+def cms_token_counts(spark, sf_dir, d: int = CMS_D, w: int = CMS_W,
+                     topn: int = CMS_TOPN) -> DataFrame:
+    """Count-min sketch over the token stream (Cormode & Muthukrishnan
+    '05) — the mergeable heavy-hitter structure a streaming crawler
+    keeps per partition and ORs together: counters are integer SUMS,
+    so sketch merge is reduction-order-independent and the estimate
+    est(t) = min_r sketch[r][h_r(t)] is bit-identical across engines.
+    Emits the top-N true-frequency tokens with their CMS estimate —
+    est >= true always (one-sided error), and the overestimate column
+    is the collision cost of compressing the whole vocabulary into
+    d*w = 64 counters.
+
+    Hash portability: h_r(t) = value of the first hex digit of
+    md5('r|t') (w = 16), computable verbatim in Spark and DuckDB.
+
+    100-TB shape: the sketch build is one map-side-combinable groupBy
+    over d slim (row, col) keys — 64 result rows regardless of corpus
+    size; estimates join tokens against the broadcast 64-row sketch."""
+    toks = _tokens(_docs(spark, sf_dir)).select("tok")
+    hexpos = "'0123456789abcdef'"
+
+    def col_r(r):
+        return F.expr(
+            f"locate(substr(md5(concat('{r}|', tok)), 1, 1), {hexpos}) - 1")
+
+    rows = None
+    for r in range(d):
+        part = toks.select(F.lit(r).alias("r"), col_r(r).alias("c"))
+        rows = part if rows is None else rows.unionAll(part)
+    sketch = rows.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+
+    true_counts = (toks.groupBy("tok").agg(F.count("*").alias("n_true"))
+                   .orderBy(F.col("n_true").desc(), "tok").limit(topn))
+    keyed = None
+    for r in range(d):
+        part = true_counts.select("tok", "n_true", F.lit(r).alias("r"),
+                                  col_r(r).alias("c"))
+        keyed = part if keyed is None else keyed.unionAll(part)
+    est = (keyed.join(F.broadcast(sketch), ["r", "c"])
+           .groupBy("tok", "n_true")
+           .agg(F.min("cnt").alias("n_est")))
+    return est.select("tok", "n_true", "n_est",
+                      (F.col("n_est") - F.col("n_true"))
+                      .alias("overestimate"))
+
+
+def cms_token_counts_oracle_sql(d: int = CMS_D, w: int = CMS_W,
+                                topn: int = CMS_TOPN) -> str:
+    """DuckDB twin of cms_token_counts — same hex-digit hash rows,
+    same integer sketch."""
+    hexpos = "'0123456789abcdef'"
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, strpos({hexpos}, "
+        f"substr(md5('{r}|' || tok), 1, 1)) - 1 AS c FROM t"
+        for r in range(d))
+    key_rows = " UNION ALL ".join(
+        f"SELECT tok, n_true, {r} AS r, strpos({hexpos}, "
+        f"substr(md5('{r}|' || tok), 1, 1)) - 1 AS c FROM tc"
+        for r in range(d))
+    return (
+        "WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        f"hr AS ({hash_rows}), "
+        "sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM hr "
+        "GROUP BY r, c), "
+        "tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM t "
+        f"GROUP BY tok ORDER BY n_true DESC, tok LIMIT {topn}), "
+        f"keyed AS ({key_rows}) "
+        "SELECT tok, n_true, CAST(min(cnt) AS BIGINT) AS n_est, "
+        "CAST(min(cnt) - n_true AS BIGINT) AS overestimate "
+        "FROM keyed JOIN sk USING (r, c) GROUP BY tok, n_true")
