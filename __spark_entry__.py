@@ -809,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_containment": textops.allpairs_containment,
         "pack_windows": textops.pack_windows,
         "cms_token_counts": textops.cms_token_counts,
+        "kmv_distinct": textops.kmv_distinct,
         "source_ngram_overlap": textops.source_ngram_overlap,
         "length_percentiles": textops.length_percentiles,
         "recrawl_schedule": q_recrawl_schedule,
@@ -1510,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "allpairs_containment": textops.allpairs_containment_oracle_sql(),
         "pack_windows": textops.pack_windows_oracle_sql(),
         "cms_token_counts": textops.cms_token_counts_oracle_sql(),
+        "kmv_distinct": textops.kmv_distinct_oracle_sql(),
         "source_ngram_overlap": textops.source_ngram_overlap_oracle_sql(),
         "length_percentiles": textops.length_percentiles_oracle_sql(),
         "recrawl_schedule": _scrapeops().recrawl_schedule_oracle_sql(),

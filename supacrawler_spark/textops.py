@@ -1659,3 +1659,67 @@ def cms_token_counts_oracle_sql(d: int = CMS_D, w: int = CMS_W,
         "SELECT tok, n_true, CAST(min(cnt) AS BIGINT) AS n_est, "
         "CAST(min(cnt) - n_true AS BIGINT) AS overestimate "
         "FROM keyed JOIN sk USING (r, c) GROUP BY tok, n_true")
+
+
+KMV_K = 64
+_HEX16 = "'0123456789abcdef'"
+
+
+def _hex12_expr(inner: str, engine: str) -> str:
+    """First 12 hex digits of md5(inner) as a BIGINT, from per-digit
+    position lookups — the same arithmetic in Spark SQL and DuckDB
+    (only the substring-position builtin differs: locate(needle, hay)
+    vs strpos(hay, needle))."""
+    terms = []
+    for i in range(12):
+        digit = (f"(locate(substr(md5({inner}), {i + 1}, 1), {_HEX16}) - 1)"
+                 if engine == "spark" else
+                 f"(strpos({_HEX16}, substr(md5({inner}), {i + 1}, 1)) - 1)")
+        # digit promoted to BIGINT before the multiply: INT * INT
+        # overflows under Spark ANSI for the high place values
+        terms.append(f"CAST({digit} AS BIGINT) * {16 ** (11 - i)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def kmv_distinct(spark, sf_dir, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. '02)
+    over the token vocabulary — the DETERMINISTIC cardinality sketch
+    (unlike HLL whose register layout is engine-private): keep the k
+    smallest 48-bit hashes; est = (k-1)·2^48 DIV h_(k), where h_(k)
+    is the k-th minimum. Min-k of a set is reduction-order-independent
+    and the arithmetic is all BIGINT, so both engines agree bit-
+    for-bit. Emits n_true (exact distinct), k, kth_hash, n_est —
+    the error the sketch would carry at 10^10-token scale where the
+    exact distinct is a full shuffle and the sketch is 64 longs.
+
+    100-TB shape: per-partition top-k mins combine map-side (the sort
+    is TakeOrdered over k rows); the exact twin column is the one full
+    count_distinct — the thing the sketch exists to avoid."""
+    toks = _tokens(_docs(spark, sf_dir)).select("tok").distinct()
+    h = F.expr(_hex12_expr("tok", "spark"))
+    hk = (toks.select(h.alias("h"))
+          .orderBy("h").limit(k)
+          .agg(F.max("h").alias("kth_hash"),
+               F.count("*").alias("k_eff")))
+    nt = toks.agg(F.count("*").alias("n_true"))
+    est = F.expr(f"CAST(((k_eff - 1) * {16 ** 12}) DIV kth_hash AS BIGINT)")
+    return (nt.crossJoin(F.broadcast(hk))
+            .select("n_true", F.col("k_eff").alias("k"), "kth_hash",
+                    est.alias("n_est")))
+
+
+def kmv_distinct_oracle_sql(k: int = KMV_K) -> str:
+    """DuckDB twin of kmv_distinct — same 48-bit hash arithmetic,
+    same min-k and integer estimate."""
+    h = _hex12_expr("tok", "duckdb")
+    return (
+        "WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        f"hs AS (SELECT {h} AS h FROM t), "
+        f"mk AS (SELECT h FROM hs ORDER BY h LIMIT {k}), "
+        "hk AS (SELECT CAST(max(h) AS BIGINT) AS kth_hash, "
+        "CAST(count(*) AS BIGINT) AS k_eff FROM mk), "
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t) "
+        "SELECT n_true, k_eff AS k, kth_hash, "
+        f"CAST(((k_eff - 1) * {16 ** 12}) // kth_hash AS BIGINT) AS n_est "
+        "FROM nt CROSS JOIN hk")
