@@ -1348,7 +1348,16 @@ def allpairs_jaccard(spark, sf_dir) -> DataFrame:
     window (local top within doc_id partitions); the candidate join
     keys on rare shingles only — by construction each prefix shingle
     appears in few docs, so the equi-join is skew-resistant where a
-    full shingle self-join would square the hot-shingle buckets."""
+    full shingle self-join would square the hot-shingle buckets.
+
+    Measured crossover (sf0.1, 5000 docs, local[32]): the plain
+    self-join wins 5.4s vs 18.5s here because the synthetic shingles
+    are near-unique (no hot keys), so the per-doc rarity window costs
+    more than the sparse join it avoids — the filter is the HIGH-SKEW
+    plan (Zipfian web shingles: 'click here to', boilerplate), where
+    the self-join's hot buckets grow quadratically and the prefix
+    join stays linear. A production planner would gate on the max
+    shingle frequency from the (already computed) freq table."""
     return allpairs_jaccard_from(_docs(spark, sf_dir))
 
 
