@@ -79,3 +79,46 @@ def test_allpairs_containment_fixture_matches_brute_force(spark):
     got = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["containment"])
            for r in textops.allpairs_containment(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_prefix_filter_kills_hot_shingle_candidates(spark):
+    """On a boilerplate-heavy corpus (one sentence shared by ALL docs)
+    the naive shingle self-join intersects every pair — O(n²) — while
+    the rarity-ordered prefix keeps the hot shingles out of every
+    prefix, so candidates stay near zero AND the result is still
+    exact (equal to brute force)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from supacrawler_spark.textops import (
+        ALLPAIRS_DEN, ALLPAIRS_NUM, allpairs_jaccard_from, shingles)
+
+    n = 40
+    boiler = "click here to subscribe to our newsletter today"
+    docs = {i: f"unique{i}a word{i}b token{i}c {boiler} tail{i}d end{i}e"
+            for i in range(n)}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    # brute force: every pair shares the boilerplate shingles
+    sh = shingles(df).distinct()
+    brute_pairs = (sh.alias("a").join(sh.alias("b"), "shingle")
+                   .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                   .select("a.doc_id", "b.doc_id").distinct().count())
+    assert brute_pairs == n * (n - 1) // 2
+    # prefix candidates (same recipe as allpairs_jaccard_from)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("gf"))
+    sized = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("gf", "shingle")
+    ranked = (sh.join(freq, "shingle")
+              .select("doc_id", "shingle",
+                      F.row_number().over(w).alias("pos")))
+    ceil_tau_n = F.expr(
+        f"(({ALLPAIRS_NUM} * n + {ALLPAIRS_DEN} - 1)) DIV {ALLPAIRS_DEN}")
+    pref = (ranked.join(F.broadcast(sized), "doc_id")
+            .filter(F.col("pos") <= F.col("n") - ceil_tau_n + 1)
+            .select("doc_id", "shingle"))
+    cand = (pref.alias("a").join(pref.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id").distinct().count())
+    assert cand == 0                      # hot shingles never in a prefix
+    # and exactness is preserved: no pair reaches Jaccard 0.8 anyway
+    assert allpairs_jaccard_from(df).count() == 0
