@@ -371,9 +371,24 @@ def simhash_near_dup(spark, sf_dir, bits: int = SIMHASH_ND_BITS,
 # Duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+CC_SMALL_EDGES = 100_000
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         force_distributed: bool = False) -> DataFrame:
     """Undirected edge list ``(src, dst)`` -> ``(id, component)`` where
     ``component`` is the min node id in the node's connected component.
+
+    Adaptive: below CC_SMALL_EDGES edges the component structure is
+    driver-sized even when the CORPUS is 100 TB (verified near-dup
+    edges are a vanishing fraction of documents), so collect once and
+    union-find in microseconds — the same driver-known-bound gating
+    as the fetch join's broadcast gate. Measured (4x sf0.1, local[8]):
+    neutral for dup_clusters (its edge input is pre-checkpointed and
+    converges in ~2 rounds) and **15.6s -> 10.1s for
+    multi_signal_clusters**, whose unioned two-pipeline edge input
+    made every distributed round re-walk more plan. Above the bound,
+    distributed min-label propagation:
 
     Min-label propagation: every round each node takes the min of its
     own label and its neighbours' labels; rounds needed = graph
@@ -392,6 +407,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     MapReduce and Beyond", O(log^2 n) rounds, same per-round cost);
     dedup clusters never need it.
     """
+    spark = edges.sparkSession
+    if not force_distributed:
+        head = edges.select(F.col("src").cast("long"),
+                            F.col("dst").cast("long")) \
+            .limit(CC_SMALL_EDGES + 1).collect()
+        if len(head) <= CC_SMALL_EDGES:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = [(n, find(n)) for n in parent]
+            return spark.createDataFrame(
+                rows, "id long, component long")
     sym = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")).union(
         edges.select(F.col("dst").cast("long").alias("src"),

@@ -184,3 +184,24 @@ def test_multi_signal_clusters_subsume_each_signal(spark):
             for b in docs[i + 1:]:
                 if part[a] == part[b]:
                     assert ms[a] == ms[b], (a, b)
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    """The small-edge union-find gate must be invisible: same
+    (id, component) sets as the distributed min-label rounds on
+    random graphs (chains force multi-round propagation)."""
+    import random
+    from supacrawler_spark.textops import connected_components
+
+    rng = random.Random(11)
+    for trial in range(4):
+        nodes = list(range(30))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+        edges += [(i, i + 1) for i in range(10)]        # a long chain
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fast = {(r["id"], r["component"])
+                for r in connected_components(df).collect()}
+        slow = {(r["id"], r["component"])
+                for r in connected_components(
+                    df, force_distributed=True).collect()}
+        assert fast == slow, f"trial {trial}"
