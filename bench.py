@@ -69,6 +69,12 @@ def main() -> int:
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=shuffle,
                       app_name=f"supacrawler-bench-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
+    # The sandbox fixtures are single-row-group parquet (unsplittable:
+    # the scan stage — where explode+partial-agg work fuses — would be
+    # ONE task at any core count; measured dup_span_stats 18.6s -> 2.1s
+    # at local[32]). Production inputs have many splits; see
+    # session.split_small_scan.
+    spark.conf.set("spark.supacrawler.smallScanRepartition", "true")
 
     timings: dict[str, float] = {}
 

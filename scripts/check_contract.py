@@ -44,6 +44,9 @@ def main():
     only = sys.argv[1:] or None
     spark = get_spark(master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("SMALL_SCAN", "0") == "1":
+        # prove value-invariance of the bench's small-scan repartition
+        spark.conf.set("spark.supacrawler.smallScanRepartition", "true")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "

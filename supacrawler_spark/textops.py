@@ -39,7 +39,9 @@ SIMHASH_ND_MAXDIST = 3  # pigeonhole: dist<=3 => >=1 of 4 bands identical
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from supacrawler_spark.session import split_small_scan
+    return split_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(docs):
