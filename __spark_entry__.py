@@ -91,6 +91,39 @@ def q_seen_anti_join(spark, sf_dir):
             .select("c_custkey", "c_name"))
 
 
+def q_cuckoo_prefilter(spark, sf_dir):
+    """J2 via the north rule's other named URL-seen family
+    ("Bloom/cuckoo"): the same customers-with-no-orders anti-join,
+    computed through the partitioned cuckoo pre-filter (cuckoo.py) —
+    definite-new rows (probe negative, provably unseen) skip the
+    exact anti-join entirely; maybe rows are exact-rechecked. Must
+    equal the plain anti-join oracle regardless of the filter's
+    false-positive rate. 100-TB shape: the probe is one
+    applyInPandas pass per touched bucket (2 vectorized gathers),
+    and only the maybe-fraction reaches the anti-join exchange."""
+    import tempfile
+
+    from supacrawler_spark.cuckoo import CuckooState
+
+    c = (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name",
+                 F.xxhash64("c_custkey").alias("url_hash")))
+    # seen set = a strict subset of ordering customers (integer gate,
+    # cross-engine exact) so BOTH probe outcomes carry rows: definite-
+    # new customers flow straight through, maybes get exact-rechecked
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") % 3 == 0).select("o_custkey"))
+    ck = CuckooState(tempfile.mkdtemp(prefix="cuckoo_q_"),
+                     n_buckets=8, log2_slots=14)
+    ck.add(o.select(F.xxhash64("o_custkey").alias("url_hash")))
+    flagged = ck.flag(c)
+    fresh = flagged.filter(~F.col("_maybe_seen"))
+    maybe = (flagged.filter(F.col("_maybe_seen"))
+             .join(o, F.col("c_custkey") == F.col("o_custkey"),
+                   "left_anti"))
+    return fresh.unionByName(maybe).select("c_custkey", "c_name")
+
+
 def q_fetch_join(spark, sf_dir):
     """J1: fetch left-join with miss -> 404 (isValidResult analog,
     scrape/service.go:648-668)."""
@@ -748,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-relational operator analogs
         "crawl_stats": q_crawl_stats,
         "seen_anti_join": q_seen_anti_join,
+        "cuckoo_prefilter": q_cuckoo_prefilter,
         "fetch_join": q_fetch_join,
         "politeness_topk": q_politeness_topk,
         "frontier_rank": q_frontier_rank,
@@ -1417,6 +1451,10 @@ def oracle_sql() -> dict[str, str]:
         "seen_anti_join": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "cuckoo_prefilter": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_custkey % 3 = 0)"),
         "fetch_join": (
             "SELECT o_orderkey, o_custkey, "
             "CASE WHEN c_custkey IS NULL THEN 404 ELSE 200 END "

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from supacrawler_spark import urlkit as U
 from supacrawler_spark.bloom import BloomState
+from supacrawler_spark.cuckoo import CuckooState
 from supacrawler_spark.functions import match_patterns_udf, robots_allowed_udf
 from supacrawler_spark.operators.fetch import (
     expand_candidates,
@@ -375,6 +376,7 @@ def run_crawl(
     state_dir: "str | None" = None,
     resume: bool = False,
     use_bloom: bool = True,
+    seen_filter: "str | None" = None,
     bucket_known: "bool | None" = None,
     seed_dim: "bool | None" = None,
     collect_lineage: bool = True,
@@ -402,6 +404,12 @@ def run_crawl(
     stored content/discovery. ``params.fresh=True`` bypasses it
     (scrape/service.go:64-69). Extraction is a pure function of the
     html, so cached and fresh runs are bit-identical (tested).
+
+    ``seen_filter``: "bloom" | "cuckoo" | "off" — which URL-seen
+    pre-filter prunes the exact anti-join (north_rule: "Bloom/cuckoo
+    URL-seen"). None (default) derives it from ``use_bloom``. A pure
+    physical-plan choice: the exact anti-join re-checks every
+    positive, so traces are identical across all three (tested).
 
     ``bucket_known``: None (default) auto-engages the bucketed
     known-state table above KNOWN_TABLE_THRESHOLD discovered URLs;
@@ -558,7 +566,22 @@ def run_crawl(
     # regime the filter prunes nearly all probe volume (SURVEY.md J2).
     # The first activation bulk-builds from the known table (this also
     # covers resume — no separate rebuild path needed).
-    bloom = BloomState(os.path.join(state_dir, "bloom")) if use_bloom else None
+    # `seen_filter` picks the probabilistic pre-filter family the north
+    # rule names ("Bloom/cuckoo URL-seen"): "bloom" (default),
+    # "cuckoo" (cuckoo.py — deletable, 2-row probes), or "off". Both
+    # expose the same add/flag API, so everything below is
+    # filter-agnostic; trace equivalence bloom == cuckoo == off is
+    # pinned by tests (the exact anti-join always re-checks positives).
+    if seen_filter is None:
+        seen_filter = "bloom" if use_bloom else "off"
+    if seen_filter == "bloom":
+        bloom = BloomState(os.path.join(state_dir, "bloom"))
+    elif seen_filter == "cuckoo":
+        bloom = CuckooState(os.path.join(state_dir, "cuckoo"))
+    elif seen_filter == "off":
+        bloom = None
+    else:
+        raise ValueError(f"unknown seen_filter {seen_filter!r}")
     bloom_built = False
     # incremental bloom adds run on a background thread: the add only
     # has to complete before the NEXT wave's probe executes, so it

@@ -197,6 +197,23 @@ def test_bloom_off_equals_on(spark, web, monkeypatch):
     assert t_on == t_off
 
 
+def test_cuckoo_filter_equals_off(spark, web, monkeypatch):
+    """The cuckoo URL-seen pre-filter (north_rule's other named
+    family) is a physical-plan choice only: with the engage threshold
+    forced to 0 the cuckoo-filtered crawl must be trace-identical to
+    the unfiltered exact anti-join."""
+    from supacrawler_spark.plans import crawl as crawl_mod
+
+    monkeypatch.setattr(crawl_mod, "BLOOM_THRESHOLD", 0)
+    pages_df, pages_local, n_docs = web
+    seeds = gen_seeds(n_docs, k=2)
+    params = CrawlParams(depth=2, link_limit=40)
+    run_ck = run_crawl(spark, pages_df, seeds, params, seen_filter="cuckoo")
+    run_off = run_crawl(spark, pages_df, seeds, params, seen_filter="off")
+    assert [tuple(r) for r in run_ck.trace.collect()] == \
+           [tuple(r) for r in run_off.trace.collect()]
+
+
 def test_known_bucketed_equals_files(spark, web, monkeypatch):
     """The bucketed known-state table is a physical-plan choice only:
     forcing it from wave 0 (and with bloom active on top, plus a
