@@ -833,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": textops.top_terms,
         "stratified_sample": textops.stratified_sample,
         "export_shards": textops.export_shards,
+        "mixture_sample": textops.mixture_sample,
+        "epoch_shuffle": textops.epoch_shuffle,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1539,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": sitemap.sitemap_parse_oracle_sql(),
         "stratified_sample": textops.stratified_sample_oracle_sql(),
         "export_shards": textops.export_shards_oracle_sql(),
+        "mixture_sample": textops.mixture_sample_oracle_sql(),
+        "epoch_shuffle": textops.epoch_shuffle_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

@@ -813,6 +813,116 @@ def export_shards_oracle_sql(n_shards: int = N_EXPORT_SHARDS) -> str:
         "FROM documents GROUP BY 1")
 
 
+MIX_SCALE = 1_000_000  # e6 fixed-point sampling-rate grid
+
+
+def mixture_sample(spark, sf_dir) -> DataFrame:
+    """Source-mixing epoch expansion (the step after the mixing
+    decision): given per-source weights, compute each source's e6
+    fixed-point per-doc sampling rate for an epoch of N total docs,
+    then realize it deterministically — every doc gets
+    ``rate_e6 div 1e6`` whole copies plus one extra iff its salted-md5
+    bucket falls under ``rate_e6 mod 1e6``. Stochastic-rounding by
+    hash, so the expansion is exactly reproducible (same doc set ->
+    same epoch) and E[n_expanded] matches the target mix with
+    per-source error < 1 doc ... all in BIGINT (cross-engine exact,
+    no floats). Weights here are a deterministic 1..5 derived from
+    md5(source) — the stand-in for a user-supplied mixing table.
+
+    100-TB shape: two bounded aggregates (one per-source count -> a
+    ~n_sources-row broadcast rate dim) and one map-only per-doc copy
+    computation folded into the final per-source rollup — a single
+    hash shuffle on `source`, no row explosion (the expansion is
+    accounted, not materialized; a writer would `explode` the copies
+    column per partition)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = (F.conv(F.substring(F.md5(F.col("source")), 1, 4), 16, 10)
+         .cast("long") % 5 + 1)
+    per_src = per_src.withColumn("w", w)
+    totals = per_src.agg(F.sum("w").alias("tot_w"),
+                         F.sum("n_docs").alias("tot_n"))
+    rates = (per_src.crossJoin(F.broadcast(totals))
+             .withColumn("rate_e6",
+                         F.expr(f"(w * tot_n * {MIX_SCALE}) "
+                                "div (tot_w * n_docs)"))
+             .select("source", "n_docs", "rate_e6"))
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % MIX_SCALE)
+    per_doc = (docs.join(F.broadcast(rates.select("source", "rate_e6")),
+                         "source")
+               .withColumn("copies",
+                           F.expr(f"rate_e6 div {MIX_SCALE}")
+                           + (bucket < F.col("rate_e6") % MIX_SCALE)
+                           .cast("long")))
+    return (per_doc.groupBy("source")
+            .agg(F.sum("copies").alias("n_expanded"))
+            .join(F.broadcast(rates), "source")
+            .select("source", "n_docs", "rate_e6", "n_expanded"))
+
+
+def mixture_sample_oracle_sql() -> str:
+    s = MIX_SCALE
+    return (
+        "WITH stats AS (SELECT source, count(*) AS n_docs, "
+        "1 + ('0x' || substring(md5(source), 1, 4))::BIGINT % 5 AS w "
+        "FROM documents GROUP BY 1), "
+        "tot AS (SELECT SUM(w) AS tot_w, SUM(n_docs) AS tot_n "
+        "FROM stats), "
+        f"rates AS (SELECT source, n_docs, (w * tot_n * {s}) "
+        "// (tot_w * n_docs) AS rate_e6 FROM stats, tot), "
+        f"perdoc AS (SELECT d.source, r.rate_e6 // {s} + "
+        "CASE WHEN ('0x' || substring(md5('mix|' || d.doc_id), 1, 8))"
+        f"::BIGINT % {s} < r.rate_e6 % {s} THEN 1 ELSE 0 END AS copies "
+        "FROM documents d JOIN rates r ON d.source = r.source) "
+        "SELECT r.source, r.n_docs, r.rate_e6, "
+        "CAST(sum(p.copies) AS BIGINT) AS n_expanded "
+        "FROM perdoc p JOIN rates r ON p.source = r.source "
+        "GROUP BY r.source, r.n_docs, r.rate_e6")
+
+
+def epoch_shuffle(spark, sf_dir, n_shards: int = N_EXPORT_SHARDS,
+                  seed: str = "ep0") -> DataFrame:
+    """Deterministic seeded global shuffle for an epoch: every doc's
+    permutation key is md5(seed|doc_id), its shard is the key's top 16
+    bits mod n_shards, and the per-shard digest hashes the docs' md5s
+    IN PERMUTED ORDER — the reproducibility receipt for "the training
+    job consumed this exact order". A new seed re-deals both shard
+    assignment and intra-shard order; the same seed is byte-stable
+    across clusters/partitionings (vs export_shards, whose digest is
+    doc_id-ordered and seedless).
+
+    100-TB shape: map-only key computation, ONE hash shuffle on
+    shard_id (uniform by construction), per-shard sort bounded by
+    docs/shard — the classic shuffle-shard-sort; no global sort and
+    nothing driver-side."""
+    docs = _docs(spark, sf_dir)
+    perm = F.md5(F.concat(F.lit(seed), F.lit("|"),
+                          F.col("doc_id").cast("string")))
+    per = docs.select(
+        (F.conv(F.substring(perm, 1, 4), 16, 10).cast("int")
+         % n_shards).alias("shard_id"),
+        perm.alias("perm"), "doc_id", F.md5("text").alias("doc_md5"))
+    return (per.groupBy("shard_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.md5(F.concat_ws("", F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("perm", "doc_id", "doc_md5"))),
+                     lambda st: st["doc_md5"]))).alias("digest")))
+
+
+def epoch_shuffle_oracle_sql(n_shards: int = N_EXPORT_SHARDS,
+                             seed: str = "ep0") -> str:
+    return (
+        f"SELECT (('0x' || substring(md5('{seed}|' || doc_id), 1, 4))"
+        f"::INT % {n_shards}) AS shard_id, "
+        "count(*) AS n_docs, "
+        "md5(string_agg(md5(text), '' "
+        f"ORDER BY md5('{seed}|' || doc_id), doc_id)) AS digest "
+        "FROM documents GROUP BY 1")
+
+
 def source_stats(spark, sf_dir) -> DataFrame:
     """Per-source corpus profile (the mixing-decision input): doc
     count, char volume, exact-integer mean length (e3 grid), distinct
