@@ -835,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": textops.export_shards,
         "mixture_sample": textops.mixture_sample,
         "epoch_shuffle": textops.epoch_shuffle,
+        "redirect_chains":
+            lambda spark, sf: _scrapeops().redirect_chains(spark, sf),
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1543,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": textops.export_shards_oracle_sql(),
         "mixture_sample": textops.mixture_sample_oracle_sql(),
         "epoch_shuffle": textops.epoch_shuffle_oracle_sql(),
+        "redirect_chains": _scrapeops().redirect_chains_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

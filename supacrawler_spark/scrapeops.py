@@ -259,3 +259,104 @@ def recrawl_schedule_oracle_sql() -> str:
         "changes_per_day_e3, CAST(row_number() OVER ("
         "ORDER BY changes_per_day_e3 DESC NULLS LAST, "
         "last_seen DESC, page_id ASC) AS INT) AS fetch_order FROM r")
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+REDIRECT_ROUNDS = 4          # pointer doubling: resolves chains up to
+REDIRECT_MAX_HOPS = 1 << REDIRECT_ROUNDS  # 16 hops, the capped regime
+
+
+def resolve_redirects(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Resolve every node's redirect chain to its canonical final
+    target — the batch form of HTTP-client redirect following with a
+    hop cap (the reference categorizes "stopped after N redirects" as
+    a first-class error, internal/core/scrape/handler.go:47-49; a
+    crawler must collapse 301/302 chains so the frontier and the seen
+    set key on final targets, not hop-1 aliases).
+
+    ``edges``: (src BIGINT, dst BIGINT) redirect mapping, src unique.
+    ``nodes``: (doc_id BIGINT). Returns
+    (doc_id, final_doc, n_hops, is_cycle): non-redirect nodes map to
+    themselves with 0 hops; a chain that is still on a redirect
+    source after REDIRECT_MAX_HOPS hops (a cycle, or a chain longer
+    than the cap) reports the position after exactly MAX_HOPS hops
+    with is_cycle=true — bit-identical to a linear walk capped at
+    MAX_HOPS (the DuckDB recursive-CTE twin).
+
+    Scale shape: POINTER DOUBLING on the redirect dim only —
+    log2(MAX_HOPS) self-equi-joins over the (small relative to the
+    corpus) redirect table instead of MAX_HOPS sequential passes over
+    the corpus; the corpus is touched by ONE final equi-join against
+    the resolved map. Invariant (inductive): after round k an entry
+    is either terminal with its exact chain length <= 2^k, or sits at
+    the position after exactly 2^k hops — so hop counts stay exact,
+    never approximate."""
+    g = edges.select(F.col("src"),
+                     F.col("dst").alias("cur"),
+                     F.lit(1).cast("long").alias("steps"))
+    for _ in range(REDIRECT_ROUNDS):
+        b = g.select(F.col("src").alias("b_src"),
+                     F.col("cur").alias("b_cur"),
+                     F.col("steps").alias("b_steps"))
+        g = (g.join(b, g["cur"] == b["b_src"], "left")
+             .select(g["src"],
+                     F.coalesce(b["b_cur"], g["cur"]).alias("cur"),
+                     (g["steps"]
+                      + F.coalesce(b["b_steps"], F.lit(0).cast("long")))
+                     .alias("steps")))
+    res = (nodes.join(g, nodes["doc_id"] == g["src"], "left")
+           .select(nodes["doc_id"],
+                   F.coalesce(g["cur"], nodes["doc_id"])
+                   .alias("final_doc"),
+                   F.coalesce(g["steps"], F.lit(0).cast("long"))
+                   .alias("n_hops")))
+    srcs = edges.select(F.col("src").alias("_fsrc"))
+    return (res.join(srcs, res["final_doc"] == srcs["_fsrc"], "left")
+            .select("doc_id", "final_doc", "n_hops",
+                    F.col("_fsrc").isNotNull().alias("is_cycle")))
+
+
+def redirect_chains(spark, sf_dir: str) -> DataFrame:
+    """Driver fixture for resolve_redirects: a deterministic redirect
+    dim derived from the documents table — every doc with
+    doc_id % 4 == 1 redirects to md5("redir|"+doc_id) mod N (hash
+    target, so target residues are uniform and multi-hop chains
+    actually occur), resolved to canonical targets. Exact integer
+    arithmetic on both engines (md5 hex is engine-identical); the
+    DuckDB twin is a recursive CTE capped at the same MAX_HOPS."""
+    from supacrawler_spark.session import split_small_scan
+    docs = split_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).select("doc_id")
+    n = docs.count()
+    dst = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("redir|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % n)
+    edges = (docs.filter(F.col("doc_id") % 4 == 1)
+             .select(F.col("doc_id").alias("src"), dst.alias("dst")))
+    return resolve_redirects(edges, docs)
+
+
+def redirect_chains_oracle_sql() -> str:
+    h = REDIRECT_MAX_HOPS
+    return (
+        "WITH RECURSIVE "
+        "edges AS (SELECT doc_id AS src, "
+        "('0x' || substring(md5('redir|' || doc_id), 1, 8))::BIGINT % "
+        "(SELECT count(*) FROM documents) AS dst "
+        "FROM documents WHERE doc_id % 4 = 1), "
+        "walk(doc_id, cur, n_hops) AS ("
+        "SELECT doc_id, doc_id, 0 FROM documents "
+        "UNION ALL "
+        "SELECT w.doc_id, e.dst, w.n_hops + 1 "
+        "FROM walk w JOIN edges e ON w.cur = e.src "
+        f"WHERE w.n_hops < {h}), "
+        "fin AS (SELECT doc_id, max(n_hops) AS m FROM walk "
+        "GROUP BY doc_id) "
+        "SELECT w.doc_id, w.cur AS final_doc, "
+        "CAST(w.n_hops AS BIGINT) AS n_hops, "
+        "(w.cur IN (SELECT src FROM edges)) AS is_cycle "
+        "FROM walk w JOIN fin f "
+        "ON w.doc_id = f.doc_id AND w.n_hops = f.m")
