@@ -14,6 +14,7 @@ Env:
   BENCH_LINK_LIMIT     crawl link_limit (default 0 = unlimited; bounds
                        the budget-10 politeness run)
   BENCH_SKIP_QUERIES=1 crawl only (scaling campaigns)
+  BENCH_SEEN_FILTER    URL-seen pre-filter: bloom (default) | cuckoo | off
   BENCH_CRAWL_RUNS     measured-crawl repetitions (default 3): the
                        headline crawl number is the MEDIAN of R
                        identically-configured back-to-back runs — this
@@ -152,6 +153,8 @@ def main() -> int:
             pages_prepared=True,
             collect_lineage=False,
             use_bloom=True,
+            # A/B the URL-seen pre-filter family (bloom | cuckoo | off)
+            seen_filter=os.environ.get("BENCH_SEEN_FILTER") or None,
             # measured on this box: materializing the corpus into the
             # Spark block cache costs ~85s (decompress+re-encode of
             # the fat html column) while a plain warm parquet scan is
