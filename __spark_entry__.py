@@ -837,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": textops.epoch_shuffle,
         "redirect_chains":
             lambda spark, sf: _scrapeops().redirect_chains(spark, sf),
+        "dup_span_removal": textops.dup_span_removal,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1546,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": textops.mixture_sample_oracle_sql(),
         "epoch_shuffle": textops.epoch_shuffle_oracle_sql(),
         "redirect_chains": _scrapeops().redirect_chains_oracle_sql(),
+        "dup_span_removal": textops.dup_span_removal_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

@@ -147,10 +147,18 @@ class CuckooState:
                 break
             table[i1[placed], slot[has_free]] = fp[placed]
             pending = pending[~np.isin(pending, placed)]
-        # slow path: deterministic kick chains for full buckets
+        # slow path: deterministic kick chains for full buckets.
+        # Standard insert order: try BOTH candidate buckets for a free
+        # slot first; only then evict, starting the chain at i2.
         new_stash = []
         for j in pending:
-            f, i = int(fp[j]), int(i1[j])
+            f = int(fp[j])
+            i_a, i_b = int(i1[j]), int(i2[j])
+            free = np.flatnonzero(table[i_a] == 0)
+            if free.size:
+                table[i_a, free[0]] = f
+                continue
+            i = i_b
             for kick in range(self.max_kicks):
                 row = table[i]
                 free = np.flatnonzero(row == 0)

@@ -695,6 +695,73 @@ def dup_span_stats(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
                     .alias("dup_span_frac")))
 
 
+def dup_span_removal(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
+    """Exact-substring-dedup REMOVAL accounting (the action side of
+    dup_span_stats' signal, after Lee et al. '21): treat every
+    occurrence of an n-token window except its global first (ordered
+    by (doc_id, pos)) as removable, and report per doc how many of
+    its tokens are covered by at least one removable window —
+    i.e. exactly what a keep-first span dedup would delete. Emits
+    (doc_id, n_tokens, n_dup_tokens, dup_token_frac).
+
+    Scale shape: the global-first owner per window is min(struct(
+    doc_id, pos)) — map-side-combinable like the crawl's J5 first-seen
+    dedup, so the shuffle carries ~distinct-gram volume; the n-way
+    coverage explode runs only over REMOVABLE occurrences (the dup
+    tail, not the corpus); the distinct-position count is one
+    aggregate keyed by doc. Gram text never shuffles — 8-byte
+    xxhash64 keys per the module hash-portability policy (no hash
+    reaches the output; the twin groups by gram text)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    base = (docs.filter(F.size(w) >= n)
+            .select("doc_id", w.alias("w")))
+    occ = (base.select(
+        "doc_id",
+        F.posexplode(_gram_arr(F.col("w"), n)).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                F.xxhash64("gram").alias("gh")))
+    first = occ.groupBy("gh").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"))
+    dup = (occ.join(first, "gh")
+           .filter(~((F.col("doc_id") == F.col("first.doc_id"))
+                     & (F.col("pos") == F.col("first.pos")))))
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + (n - 1))).alias("tpos"))
+    per = covered.groupBy("doc_id").agg(
+        F.count_distinct("tpos").alias("n_dup_tokens"))
+    return (base.select("doc_id", F.size("w").cast("long")
+                        .alias("n_tokens"))
+            .join(per, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("long")
+                    .alias("n_dup_tokens"))
+            .withColumn("dup_token_frac",
+                        F.col("n_dup_tokens") / F.col("n_tokens")))
+
+
+def dup_span_removal_oracle_sql(n: int = DUP_SPAN_N) -> str:
+    gram = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]"
+                              for k in range(n))
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w "
+        f"FROM documents WHERE len(string_split(text, ' ')) >= {n}), "
+        "occ AS (SELECT doc_id, i AS pos, " + gram + " AS gram "
+        f"FROM d, unnest(range(1, len(w) - {n - 2})) AS t(i)), "
+        "r AS (SELECT doc_id, pos, row_number() OVER ("
+        "PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM occ), "
+        "cov AS (SELECT DISTINCT doc_id, tpos FROM r, "
+        f"unnest(range(pos, pos + {n})) AS u(tpos) WHERE rn > 1), "
+        "per AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens, "
+        "coalesce(p.n_dup_tokens, 0) / len(d.w) AS dup_token_frac "
+        "FROM d LEFT JOIN per p ON d.doc_id = p.doc_id")
+
+
 def _with_pii(docs):
     """Deterministic PII augmentation: every doc gains one email, one
     IPv4 and one phone number derived from doc_id (the same
