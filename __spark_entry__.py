@@ -838,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains":
             lambda spark, sf: _scrapeops().redirect_chains(spark, sf),
         "dup_span_removal": textops.dup_span_removal,
+        "trap_detect":
+            lambda spark, sf: _scrapeops().trap_detect(spark, sf),
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1548,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": textops.epoch_shuffle_oracle_sql(),
         "redirect_chains": _scrapeops().redirect_chains_oracle_sql(),
         "dup_span_removal": textops.dup_span_removal_oracle_sql(),
+        "trap_detect": _scrapeops().trap_detect_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

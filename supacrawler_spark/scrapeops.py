@@ -360,3 +360,116 @@ def redirect_chains_oracle_sql() -> str:
         "(w.cur IN (SELECT src FROM edges)) AS is_cycle "
         "FROM walk w JOIN fin f "
         "ON w.doc_id = f.doc_id AND w.n_hops = f.m")
+
+
+# ---------------------------------------------------------------------------
+# Spider-trap detection
+# ---------------------------------------------------------------------------
+
+TRAP_MAX_REPEAT = 3   # a path segment appearing >= 3 times
+TRAP_MAX_DEPTH = 8    # or a path deeper than this
+
+
+def url_trap_features(url_col) -> "dict[str, Column]":
+    """Spider-trap feature columns over a URL string column — the
+    batch form of the loop guards a live crawler needs against
+    infinite URL spaces (calendar pages, faceted search, session-id
+    echoes). The reference relies on its depth cap + link_limit to
+    bound traps (crawl/service.go:529-539); a 10^10-frontier crawler
+    must detect them *before* they consume budget.
+
+    Features (all computable from the string alone):
+    ``path_depth`` (non-empty /-segments), ``max_seg_repeat`` (the
+    most-repeated path segment's count — cycle echo signal),
+    ``n_params`` (query-parameter count). ``is_trap`` flags
+    max_seg_repeat >= 3 or path_depth > 8.
+
+    Scale shape: pure higher-order array expressions
+    (transform/filter/array_max over the split path) — map-only,
+    whole-stage codegen, zero shuffle/UDF; the per-row cost is
+    O(depth^2) on a bounded-depth path."""
+    pathq = F.regexp_replace(url_col, "^https?://[^/]+", "")
+    path = F.element_at(F.split(pathq, r"\?"), 1)
+    query = F.when(F.instr(pathq, "?") > 0,
+                   F.element_at(F.split(pathq, r"\?"), 2))
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs).cast("long")
+    max_rep = F.coalesce(
+        F.array_max(F.transform(
+            segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))),
+        F.lit(0)).cast("long")
+    n_params = (F.when(query.isNotNull() & (query != ""),
+                       F.size(F.split(query, "&")))
+                .otherwise(0)).cast("long")
+    return {
+        "path_depth": depth,
+        "max_seg_repeat": max_rep,
+        "n_params": n_params,
+        "is_trap": (max_rep >= TRAP_MAX_REPEAT)
+        | (depth > TRAP_MAX_DEPTH),
+    }
+
+
+def trap_detect(spark, sf_dir: str) -> DataFrame:
+    """Driver fixture for url_trap_features: deterministic URLs from
+    the documents table — docs with doc_id % 13 == 0 get a calendar
+    echo path ('/cal/2024' repeated 2 + doc_id % 3 times, so repeat
+    counts 2..4 straddle the trap threshold), docs with
+    doc_id % 7 == 0 get a 2-param query — then the trap features per
+    URL. Exact string/integer arithmetic on both engines."""
+    from supacrawler_spark.session import split_small_scan
+    docs = split_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "source")
+    did = F.col("doc_id")
+    path = F.when(
+        did % 13 == 0,
+        F.expr("repeat('/cal/2024', 2 + doc_id % 3)")).otherwise(
+        F.concat(F.lit("/sec"), (did % 5).cast("string"),
+                 F.lit("/p"), did.cast("string")))
+    query = F.when(
+        did % 7 == 0,
+        F.concat(F.lit("?page="), (did % 50).cast("string"),
+                 F.lit("&session=abc"))).otherwise(F.lit(""))
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org"), path, query)
+    feats = url_trap_features(F.col("url"))
+    return (docs.select("doc_id", url.alias("url"))
+            .select("doc_id", "url", feats["path_depth"]
+                    .alias("path_depth"),
+                    feats["max_seg_repeat"].alias("max_seg_repeat"),
+                    feats["n_params"].alias("n_params"),
+                    feats["is_trap"].alias("is_trap")))
+
+
+def trap_detect_oracle_sql() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, 'https://' || source || "
+        "'.example.org' || "
+        "CASE WHEN doc_id % 13 = 0 THEN "
+        "repeat('/cal/2024', CAST(2 + doc_id % 3 AS INT)) "
+        "ELSE '/sec' || (doc_id % 5) || '/p' || doc_id END || "
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'?page=' || (doc_id % 50) || '&session=abc' ELSE '' END "
+        "AS url FROM documents), "
+        "f AS (SELECT doc_id, url, "
+        "regexp_replace(url, '^https?://[^/]+', '') AS pathq FROM u), "
+        "g AS (SELECT doc_id, url, "
+        "string_split(pathq, '?')[1] AS path, "
+        "CASE WHEN contains(pathq, '?') "
+        "THEN string_split(pathq, '?')[2] END AS query FROM f), "
+        "h AS (SELECT doc_id, url, "
+        "list_filter(string_split(path, '/'), x -> x <> '') AS segs, "
+        "query FROM g) "
+        "SELECT doc_id, url, "
+        "CAST(len(segs) AS BIGINT) AS path_depth, "
+        "CAST(coalesce(list_max(list_transform(segs, "
+        "s -> len(list_filter(segs, x -> x = s)))), 0) AS BIGINT) "
+        "AS max_seg_repeat, "
+        "CAST(CASE WHEN query IS NOT NULL AND query <> '' "
+        "THEN len(string_split(query, '&')) ELSE 0 END AS BIGINT) "
+        "AS n_params, "
+        "(coalesce(list_max(list_transform(segs, "
+        "s -> len(list_filter(segs, x -> x = s)))), 0) >= 3 "
+        "OR len(segs) > 8) AS is_trap "
+        "FROM h")
