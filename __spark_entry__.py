@@ -351,6 +351,16 @@ def _scrapeops():
     return scrapeops
 
 
+def _charset_sniff(spark, sf_dir):
+    from supacrawler_spark.sources import charset
+    return charset.charset_sniff(spark, sf_dir)
+
+
+def _charset_oracle():
+    from supacrawler_spark.sources import charset
+    return charset.charset_sniff_oracle_sql()
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Change-frequency recrawl scheduler over the events table read
     as per-page observation history (scrapeops.recrawl_schedule)."""
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": textops.dup_span_removal,
         "trap_detect":
             lambda spark, sf: _scrapeops().trap_detect(spark, sf),
+        "charset_sniff": _charset_sniff,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1551,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_chains": _scrapeops().redirect_chains_oracle_sql(),
         "dup_span_removal": textops.dup_span_removal_oracle_sql(),
         "trap_detect": _scrapeops().trap_detect_oracle_sql(),
+        "charset_sniff": _charset_oracle(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),
