@@ -851,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect":
             lambda spark, sf: _scrapeops().trap_detect(spark, sf),
         "charset_sniff": _charset_sniff,
+        "rarity_score": textops.rarity_score,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1563,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": textops.dup_span_removal_oracle_sql(),
         "trap_detect": _scrapeops().trap_detect_oracle_sql(),
         "charset_sniff": _charset_oracle(),
+        "rarity_score": textops.rarity_score_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

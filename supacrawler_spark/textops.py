@@ -762,6 +762,62 @@ def dup_span_removal_oracle_sql(n: int = DUP_SPAN_N) -> str:
         "FROM d LEFT JOIN per p ON d.doc_id = p.doc_id")
 
 
+RARITY_SCALE = 1_000  # mean surprisal reported on an exact e3 grid
+
+
+def rarity_score(spark, sf_dir) -> DataFrame:
+    """Unigram-LM rarity filter (the transcendental-free stand-in for
+    perplexity-based quality filtering): a token occurring with corpus
+    frequency f out of T total tokens carries surprisal ~ -log2(f/T);
+    here it is the EXACT integer ``bitwidth(T) - bitwidth(f)`` (binary
+    magnitude gap — length(bin(x)) in Spark == length(printf('%b',x))
+    in DuckDB, both exact for x>0, no float log anywhere). Per doc:
+    token count, surprisal sum, and the e3-grid mean — high means =
+    rare vocabulary (gibberish or OOD content), low = boilerplate; the
+    two tails are what an LM-based corpus filter trims.
+
+    Scale shape: one token-explode feeding BOTH the frequency count
+    (map-side partial agg) and the occurrence stream; they re-join on
+    the uniform 8-byte xxhash64 token key (hash-portability policy —
+    no hash reaches the output), then one groupBy(doc_id). Total T is
+    a 1-row broadcast like bm25's stats."""
+    docs = _docs(spark, sf_dir)
+    occ = (docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+           .select("doc_id", F.xxhash64("tok").alias("th")))
+    freq = occ.groupBy("th").agg(F.count("*").alias("f"))
+    tot = freq.agg(F.sum("f").alias("t"))
+    scored = (occ.join(freq, "th")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id",
+                      (F.length(F.bin(F.col("t")))
+                       - F.length(F.bin(F.col("f"))))
+                      .cast("long").alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("s").alias("surprisal_sum"))
+            .withColumn("mean_surprisal_e3",
+                        F.expr(f"(surprisal_sum * {RARITY_SCALE}) "
+                               "div n_tokens")))
+
+
+def rarity_score_oracle_sql() -> str:
+    return (
+        "WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS tok FROM documents), "
+        "freq AS (SELECT tok, count(*) AS f FROM occ GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM freq), "
+        "s AS (SELECT o.doc_id, "
+        "CAST(length(printf('%b', (SELECT t FROM tot))) "
+        "- length(printf('%b', fr.f)) AS BIGINT) AS s "
+        "FROM occ o JOIN freq fr ON o.tok = fr.tok) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(s) AS BIGINT) AS surprisal_sum, "
+        f"(CAST(sum(s) AS BIGINT) * {RARITY_SCALE}) // count(*) "
+        "AS mean_surprisal_e3 "
+        "FROM s GROUP BY doc_id")
+
+
 def _with_pii(docs):
     """Deterministic PII augmentation: every doc gains one email, one
     IPv4 and one phone number derived from doc_id (the same
