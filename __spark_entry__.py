@@ -173,6 +173,43 @@ def q_first_seen_dedup(spark, sf_dir):
             .select("user_id", "event_id", "event_type"))
 
 
+def q_host_reputation(spark, sf_dir):
+    """Composed crawl-policy table — who deserves crawl budget: the
+    host graph's TrustRank (spam demotion) and PageRank joined with a
+    per-host document rollup (docs attributed by doc_id % 32 to the
+    same h<k> universe the events graph uses), ranked into a
+    deterministic crawl priority. Demonstrates operator composition:
+    the Spark side joins three existing operators; the oracle nests
+    their SQL twins as subqueries — exact end to end because every
+    input is BIGINT fixed-point.
+
+    100-TB shape: two bounded-by-|hosts| equi-joins over slim rank
+    tables + one map-side-combinable doc rollup; the final rank is a
+    bounded global sort (|hosts| rows)."""
+    from pyspark.sql import Window
+    tr = graph.trustrank_hosts(spark, sf_dir).withColumnRenamed(
+        "pagerank_fp", "trustrank_fp")
+    pr = graph.pagerank_hosts(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 32).cast("string"))
+        .alias("host"), "n_chars")
+    roll = docs.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"))
+    j = (tr.join(pr, "host")
+         .join(roll, "host", "left")
+         .select("host", "trustrank_fp", "pagerank_fp",
+                 F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                 F.coalesce("chars_sum", F.lit(0)).alias("chars_sum")))
+    j = j.withColumn("mean_len_e3",
+                     F.expr("CASE WHEN n_docs > 0 THEN "
+                            "(chars_sum * 1000) div n_docs END"))
+    w = Window.orderBy(F.col("trustrank_fp").desc(),
+                       F.col("pagerank_fp").desc(), F.col("host").asc())
+    return j.withColumn("crawl_priority",
+                        F.row_number().over(w).cast("int"))
+
+
 def q_host_counts(spark, sf_dir):
     """A6: per-host frontier counts (synthetic host from user_id)."""
     ev = _t(spark, sf_dir, "events")
@@ -852,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf: _scrapeops().trap_detect(spark, sf),
         "charset_sniff": _charset_sniff,
         "rarity_score": textops.rarity_score,
+        "host_reputation": q_host_reputation,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1503,6 +1541,25 @@ def oracle_sql() -> dict[str, str]:
         "host_link_edges": _HOST_EDGES_SQL + "SELECT * FROM edges",
         "pagerank_hosts": _pagerank_sql(),
         "trustrank_hosts": _trustrank_sql(),
+        "host_reputation": (
+            "WITH tr AS (SELECT host, pagerank_fp AS trustrank_fp "
+            "FROM (" + _trustrank_sql() + ")), "
+            "pr AS (" + _pagerank_sql() + "), "
+            "roll AS (SELECT 'h' || CAST(doc_id % 32 AS VARCHAR) "
+            "AS host, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+            "FROM documents GROUP BY 1), "
+            "j AS (SELECT tr.host, tr.trustrank_fp, pr.pagerank_fp, "
+            "coalesce(roll.n_docs, 0) AS n_docs, "
+            "coalesce(roll.chars_sum, 0) AS chars_sum "
+            "FROM tr JOIN pr ON tr.host = pr.host "
+            "LEFT JOIN roll ON tr.host = roll.host) "
+            "SELECT host, trustrank_fp, pagerank_fp, n_docs, "
+            "chars_sum, CASE WHEN n_docs > 0 THEN "
+            "(chars_sum * 1000) // n_docs END AS mean_len_e3, "
+            "CAST(row_number() OVER (ORDER BY trustrank_fp DESC, "
+            "pagerank_fp DESC, host ASC) AS INT) AS crawl_priority "
+            "FROM j"),
         "hits_hosts": _hits_sql(),
         "host_gini": graph.host_gini_oracle_sql(),
         "host_degree_stats": (
