@@ -890,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_sniff": _charset_sniff,
         "rarity_score": textops.rarity_score,
         "host_reputation": q_host_reputation,
+        "crawl_diff":
+            lambda spark, sf: _scrapeops().crawl_diff(spark, sf),
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1622,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "trap_detect": _scrapeops().trap_detect_oracle_sql(),
         "charset_sniff": _charset_oracle(),
         "rarity_score": textops.rarity_score_oracle_sql(),
+        "crawl_diff": _scrapeops().crawl_diff_oracle_sql(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

@@ -473,3 +473,83 @@ def trap_detect_oracle_sql() -> str:
         "s -> len(list_filter(segs, x -> x = s)))), 0) >= 3 "
         "OR len(segs) > 8) AS is_trap "
         "FROM h")
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key: str = "url", digest: str = "content_md5"
+                  ) -> DataFrame:
+    """Diff two crawl snapshots (page key + content digest) into the
+    re-crawl ledger: status ∈ {added, gone, changed, same}. This is
+    the set-level form of the reference's per-page change detection
+    (hasSignificantContentChange, scrape/service.go:1017-1074) — a
+    scheduled re-crawl consumes it to decide what to refetch, purge,
+    or leave cached.
+
+    Scale shape: ONE full-outer hash equi-join on the page key (both
+    sides carry only key + 32-char digest — content never moves),
+    then a map-only CASE; downstream counts ride the same exchange."""
+    o = old.select(F.col(key).alias("k"),
+                   F.col(digest).alias("old_digest"))
+    n = new.select(F.col(key).alias("k"),
+                   F.col(digest).alias("new_digest"))
+    j = o.join(n, "k", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), "added")
+              .when(F.col("new_digest").isNull(), "gone")
+              .when(F.col("old_digest") != F.col("new_digest"),
+                    "changed")
+              .otherwise("same"))
+    return j.select(F.col("k").alias(key), "old_digest", "new_digest",
+                    status.alias("status"))
+
+
+def crawl_diff(spark, sf_dir: str) -> DataFrame:
+    """Driver fixture for snapshot_diff: two deterministic "runs"
+    derived from documents — run B drops docs with doc_id % 17 == 0
+    (gone), rewrites text for doc_id % 11 == 0 (changed), and adds
+    one new page per source (added); everything else is same. Exact
+    md5/string arithmetic on both engines."""
+    from supacrawler_spark.session import split_small_scan
+    docs = split_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "source", "text")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/doc/"),
+                   F.col("doc_id").cast("string"))
+    run_a = docs.select(url.alias("url"),
+                        F.md5("text").alias("content_md5"))
+    newtext = F.when(F.col("doc_id") % 11 == 0,
+                     F.concat(F.col("text"), F.lit(" v2"))
+                     ).otherwise(F.col("text"))
+    run_b = (docs.filter(F.col("doc_id") % 17 != 0)
+             .select(url.alias("url"),
+                     F.md5(newtext).alias("content_md5")))
+    extra = (docs.groupBy("source").agg(F.count("*").alias("_n"))
+             .select(F.concat(F.lit("https://"), F.col("source"),
+                              F.lit(".example.org/new"))
+                     .alias("url"),
+                     F.md5(F.col("source")).alias("content_md5")))
+    return snapshot_diff(run_a, run_b.unionByName(extra))
+
+
+def crawl_diff_oracle_sql() -> str:
+    return (
+        "WITH a AS (SELECT 'https://' || source || "
+        "'.example.org/doc/' || doc_id AS url, md5(text) AS d "
+        "FROM documents), "
+        "b0 AS (SELECT 'https://' || source || "
+        "'.example.org/doc/' || doc_id AS url, "
+        "md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' "
+        "ELSE text END) AS d FROM documents WHERE doc_id % 17 <> 0), "
+        "b1 AS (SELECT DISTINCT 'https://' || source || "
+        "'.example.org/new' AS url, md5(source) AS d FROM documents), "
+        "b AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1) "
+        "SELECT coalesce(a.url, b.url) AS url, "
+        "a.d AS old_digest, b.d AS new_digest, "
+        "CASE WHEN a.d IS NULL THEN 'added' "
+        "WHEN b.d IS NULL THEN 'gone' "
+        "WHEN a.d <> b.d THEN 'changed' ELSE 'same' END AS status "
+        "FROM a FULL OUTER JOIN b ON a.url = b.url")
