@@ -388,6 +388,16 @@ def _scrapeops():
     return scrapeops
 
 
+def _wet_extract(spark, sf_dir):
+    from supacrawler_spark.sources import warc
+    return warc.wet_extract(spark, sf_dir)
+
+
+def _wet_oracle():
+    from supacrawler_spark.sources import warc
+    return warc.wet_extract_oracle_sql()
+
+
 def _charset_sniff(spark, sf_dir):
     from supacrawler_spark.sources import charset
     return charset.charset_sniff(spark, sf_dir)
@@ -892,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "crawl_diff":
             lambda spark, sf: _scrapeops().crawl_diff(spark, sf),
+        "wet_extract": _wet_extract,
         "source_stats": textops.source_stats,
         "vocab_stats": textops.vocab_stats,
         "bm25_topk": textops.bm25_topk,
@@ -1625,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
         "charset_sniff": _charset_oracle(),
         "rarity_score": textops.rarity_score_oracle_sql(),
         "crawl_diff": _scrapeops().crawl_diff_oracle_sql(),
+        "wet_extract": _wet_oracle(),
         "source_stats": textops.source_stats_oracle_sql(),
         "vocab_stats": textops.vocab_stats_oracle_sql(),
         "bm25_topk": textops.bm25_topk_oracle_sql(),

@@ -350,3 +350,132 @@ def warc_cdx_oracle_sql(records_per_shard: int = RECORDS_PER_SHARD) -> str:
         "CAST(sum(record_len) OVER (PARTITION BY file_id ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - record_len AS BIGINT) AS offset, "
         "record_len, content_len FROM l")
+
+
+# ---------------------------------------------------------------------------
+# WET conversion (text-extraction records)
+# ---------------------------------------------------------------------------
+
+WET_CONST_OVERHEAD = 255  # fixed header bytes of a conversion record
+#   (version + type + two 58-char id lines + date + content-type +
+#    the non-variable parts of target-uri/content-length + blank line
+#    + 4-byte terminator; variable parts: len(url) + digits(n) + n)
+
+
+def build_wet_record(url: str, date: str, body: bytes) -> bytes:
+    """One WET 'conversion' record: the extracted-text twin of a WARC
+    response record (what Common Crawl publishes as .wet). Refers back
+    to the response record via the same urn:md5 id scheme; body is
+    text/plain. Byte length is closed-form:
+    WET_CONST_OVERHEAD + len(url) + len(str(len(body))) + len(body) —
+    the oracle states it without building bytes."""
+    rid = hashlib.md5((url + "#wet").encode()).hexdigest()
+    ref = hashlib.md5(url.encode()).hexdigest()
+    return (_WARC_VERSION + CRLF
+            + b"WARC-Type: conversion" + CRLF
+            + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + CRLF
+            + b"WARC-Refers-To: <urn:md5:" + ref.encode() + b">" + CRLF
+            + b"WARC-Target-URI: " + url.encode() + CRLF
+            + b"WARC-Date: " + date.encode() + CRLF
+            + b"Content-Type: text/plain" + CRLF
+            + b"Content-Length: " + str(len(body)).encode() + CRLF
+            + CRLF + body + CRLF + CRLF)
+
+
+def parse_wet_bytes(buf: bytes):
+    """Stream conversion records out of a WET shard — the read side
+    of build_wet_record (parse_warc_bytes handles type=response and
+    skips these; a WET body is raw text/plain, no HTTP envelope).
+    Same Content-Length jumping + resync discipline."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        start = buf.find(_WARC_VERSION, pos)
+        if start < 0:
+            return
+        hdr_end = buf.find(CRLF + CRLF, start)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in buf[start:hdr_end].split(CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = hdr_end + 4
+            continue
+        block_start = hdr_end + 4
+        block_end = block_start + clen
+        if block_end > n:
+            return
+        pos = block_end + 4
+        if headers.get(b"warc-type") != b"conversion":
+            continue
+        yield {
+            "url": headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace"),
+            "warc_date": headers.get(b"warc-date", b"").decode(
+                "utf-8", "replace"),
+            "refers_to": headers.get(b"warc-refers-to", b"").decode(
+                "utf-8", "replace"),
+            "body": buf[block_start:block_end],
+        }
+
+
+WET_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("refers_to", T.StringType()),
+    T.StructField("conv_len", T.LongType()),
+    T.StructField("record_len", T.LongType()),
+    T.StructField("conv_md5", T.StringType()),
+])
+
+
+def wet_extract(spark, sf_dir: str) -> DataFrame:
+    """Driver query: documents -> WARC response shards -> parse with
+    bodies -> REAL WET conversion-record bytes per page -> per-record
+    accounting (url, refers-to id, text length, full record byte
+    length, text md5). Any drift in the conversion framing or the
+    Content-Length math breaks the closed-form record_len the oracle
+    states.
+
+    Scale shape: one mapInPandas per shard in the scan stage — bodies
+    and record bytes die inside the task (only the slim accounting
+    row leaves), the same payload discipline as warc_scan."""
+    shards = docs_as_warc_shards(spark, sf_dir)
+    cols = [f.name for f in WET_SCHEMA.fields]
+
+    def work(batches):
+        for pdf in batches:
+            rows = []
+            for buf in pdf["payload"]:
+                for rec in parse_warc_bytes(bytes(buf or b""),
+                                            with_body=True):
+                    body = rec["body"]
+                    wet = build_wet_record(rec["url"],
+                                           rec["warc_date"], body)
+                    rows.append((
+                        rec["url"],
+                        "<urn:md5:" + hashlib.md5(
+                            rec["url"].encode()).hexdigest() + ">",
+                        len(body), len(wet),
+                        hashlib.md5(body).hexdigest()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shards.mapInPandas(work, WET_SCHEMA)
+
+
+def wet_extract_oracle_sql() -> str:
+    return (
+        "SELECT 'https://' || source || '.example.org/doc/' || doc_id "
+        "AS url, "
+        "'<urn:md5:' || md5('https://' || source || "
+        "'.example.org/doc/' || doc_id) || '>' AS refers_to, "
+        "CAST(strlen(text) AS BIGINT) AS conv_len, "
+        f"CAST({WET_CONST_OVERHEAD} "
+        "+ strlen('https://' || source || '.example.org/doc/' "
+        "|| doc_id) + strlen(CAST(strlen(text) AS VARCHAR)) "
+        "+ strlen(text) AS BIGINT) AS record_len, "
+        "md5(text) AS conv_md5 "
+        "FROM documents")
