@@ -185,3 +185,35 @@ def test_anchor_pairs_extraction_in_scan_stage(spark):
     pages, _ = gen_pages_df(spark, "/root/testdata/sf0.001", limit=20)
     plan = _plan(anchor_pairs_df(pages))
     assert "Exchange" not in plan, plan
+
+
+def test_session3_ops_stay_jvm_side(spark):
+    """The round-4 session-3 operators' scale claims, pinned: no
+    Python evaluation anywhere in rarity_score / dup_span_removal /
+    mixture_sample / epoch_shuffle / redirect_chains plans (pure
+    built-in expressions), and the internal join keys are 8-byte
+    xxhash64 per the hash-portability policy where claimed."""
+    from supacrawler_spark import scrapeops, textops
+
+    sf = "/root/testdata/sf0.001"
+    for build in (textops.rarity_score, textops.dup_span_removal,
+                  textops.mixture_sample, textops.epoch_shuffle):
+        plan = _plan(build(spark, sf))
+        assert "BatchEvalPython" not in plan, build.__name__
+        assert "ArrowEval" not in plan, build.__name__
+    plan = _plan(scrapeops.redirect_chains(spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # xxhash64 internal keys (never md5) in the token/gram joins
+    assert "xxhash64" in _plan(textops.rarity_score(spark, sf))
+    assert "xxhash64" in _plan(textops.dup_span_removal(spark, sf))
+
+
+def test_dup_span_removal_first_owner_is_partial_agg(spark):
+    """The global-first owner per span is min(struct(doc_id,pos)) —
+    must plan as a partial (map-side) HashAggregate before the
+    exchange, the J5 shape BENCH argues from."""
+    from supacrawler_spark import textops
+
+    plan = _plan(textops.dup_span_removal(spark, "/root/testdata/sf0.001"))
+    # a partial_min(...) aggregate appears under the gh exchange
+    assert "partial_min" in plan or "partial_first" in plan, plan
