@@ -1620,8 +1620,8 @@ def oracle_sql() -> dict[str, str]:
             "LATERAL (SELECT unnest(generate_series(1, "
             "CAST(ceil(len(arr)/8.0) AS BIGINT))) AS i) t) "
             "SELECT doc_id, pos, para_hash, "
-            "(doc_id*10000+pos) = min(doc_id*10000+pos) "
-            "OVER (PARTITION BY para_hash) AS keep FROM p"),
+            "row_number() OVER (PARTITION BY para_hash "
+            "ORDER BY doc_id, pos) = 1 AS keep FROM p"),
         "corpus_select": _corpus_select_sql(),
         "warc_roundtrip": warc.warc_roundtrip_oracle_sql(),
         "warc_cdx": warc.warc_cdx_oracle_sql(),

@@ -182,7 +182,10 @@ def anchor_pairs_df(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             tgt, txt, src = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
-                page = bytes(html).decode("utf-8")
+                # arbitrary-encoding web bytes (warc_to_pages feeds
+                # this): replace, never raise — one latin-1 page must
+                # not kill the extraction stage
+                page = bytes(html).decode("utf-8", "replace")
                 for t, a in H.extract_anchor_pairs(page, url):
                     tgt.append(t)
                     txt.append(a)

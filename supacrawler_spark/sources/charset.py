@@ -46,20 +46,27 @@ _CODECS = {"utf-8": "utf-8", "utf-16-le": "utf-16-le",
 
 def sniff_charset(raw: bytes) -> "tuple[str, str, str]":
     """(charset, via, decoded_text) for one payload. ``via`` is the
-    ladder rung: bom | meta | default."""
+    ladder rung: bom | meta | default.
+
+    Never raises: arbitrary web bytes (a mislabeled meta charset, a
+    truncated multi-byte sequence, binary smuggled as text/html) decode
+    with ``errors='replace'`` — invalid bytes become U+FFFD, valid
+    sequences are byte-exact, and the scan task survives. Raising here
+    would fail the whole ingestion task on one bad page, violating the
+    repo's skip-don't-raise discipline (see parse_warc_bytes)."""
     if raw[:3] == b"\xef\xbb\xbf":
-        return "utf-8", "bom", raw[3:].decode("utf-8")
+        return "utf-8", "bom", raw[3:].decode("utf-8", "replace")
     if raw[:2] == b"\xff\xfe":
-        return "utf-16-le", "bom", raw[2:].decode("utf-16-le")
+        return "utf-16-le", "bom", raw[2:].decode("utf-16-le", "replace")
     if raw[:2] == b"\xfe\xff":
-        return "utf-16-be", "bom", raw[2:].decode("utf-16-be")
+        return "utf-16-be", "bom", raw[2:].decode("utf-16-be", "replace")
     head = raw[:1024].decode("latin-1")
     m = _META_RE.search(head)
     if m:
         label = m.group(1).lower()
         codec = _CODECS.get(label, "utf-8")
-        return label, "meta", raw.decode(codec)
-    return "utf-8", "default", raw.decode("utf-8")
+        return label, "meta", raw.decode(codec, "replace")
+    return "utf-8", "default", raw.decode("utf-8", "replace")
 
 
 _OUT_SCHEMA = T.StructType([

@@ -871,11 +871,21 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
 
     Scale shape: chunking is a map-only array transform; paragraphs
     shuffle once as 32-byte md5 keys (never the text) into a
-    map-side-combinable min-aggregate, then an equi-join on the same
-    key — two co-partitioned hash exchanges total. The first-seen key
-    packs (doc_id, pos) into one BIGINT so the min() combines
-    map-side where a struct-min would not be oracle-portable."""
-    d = _docs(spark, sf_dir).select(
+    map-side-combinable min-aggregate (min over struct(doc_id, pos) —
+    Spark's partial agg handles any orderable type, so the combine
+    still happens map-side), then an equi-join on the same key — two
+    co-partitioned hash exchanges total. The struct key is exact for
+    any (doc_id, pos): no packing, no per-doc paragraph-count bound
+    (a BIGINT doc_id*K+pos packing silently corrupts ordering once a
+    document exceeds K paragraphs)."""
+    return paragraph_dedup_df(_docs(spark, sf_dir), k)
+
+
+def paragraph_dedup_df(docs: DataFrame, k: int = PARA_TOKENS) -> DataFrame:
+    """Core of paragraph_dedup over any (doc_id, text) frame — split
+    out so tests can drive it with adversarial shapes (e.g. a document
+    with >10k paragraphs, which broke the retired BIGINT packing)."""
+    d = docs.select(
         "doc_id", F.split("text", " ").alias("arr"))
     chunks = (d.select("doc_id", F.posexplode(F.expr(
         f"transform(sequence(1, cast(ceil(size(arr) / {k}.0) as int)), "
@@ -883,7 +893,7 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
         .alias("pos0", "para"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.md5("para").alias("para_hash")))
-    key = F.col("doc_id") * 10000 + F.col("pos")
+    key = F.struct("doc_id", "pos")
     firsts = chunks.groupBy("para_hash").agg(F.min(key).alias("first_key"))
     return (chunks.join(firsts, "para_hash")
             .select("doc_id", "pos", "para_hash",

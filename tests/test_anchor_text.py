@@ -68,3 +68,16 @@ def test_anchor_agg_matches_python_twin(spark, web):
     assert len(got) > 10
     # sanity of the fixture: at least one target has competing texts
     assert any(v[2] > 1 for v in got.values())
+
+
+def test_anchor_pairs_survive_non_utf8_page(spark):
+    """One latin-1 page in a binary corpus must not kill the stage:
+    the 0xE9 byte decodes to U+FFFD and extraction proceeds."""
+    html = ('<html><body><a href="/café-menu">Café</a>'
+            "</body></html>").encode("latin-1")
+    pages = spark.createDataFrame(
+        [("https://h1.example.org/p", bytearray(html))],
+        "url string, html binary")
+    rows = anchor_pairs_df(pages).collect()
+    assert len(rows) == 1
+    assert rows[0]["anchor_text"] == "Caf�"

@@ -59,3 +59,19 @@ def test_meta_beyond_1024_bytes_is_ignored():
     raw = pad + b'<meta charset="iso-8859-1">'
     cs, via, _ = sniff_charset(raw)
     assert (cs, via) == ("utf-8", "default")
+
+
+def test_invalid_bytes_never_raise():
+    # arbitrary web garbage on every rung: replace, don't kill the task
+    cases = [
+        b"\xef\xbb\xbf\xff\xfe garbage after utf-8 bom \xc3",   # bad utf-8
+        b"\xff\xfeodd",                                          # odd utf-16
+        b'<meta charset="utf-8"> caf\xe9 latin-1 byte',          # meta lies
+        b'<meta charset="made-up-label"> \xe9\xe9',              # unknown label
+        b"\x80\x81\x82 raw high bytes, no bom, no meta",         # default rung
+    ]
+    for raw in cases:
+        cs, via, txt = sniff_charset(raw)
+        assert isinstance(txt, str) and via in ("bom", "meta", "default")
+    # valid sequences stay byte-exact under errors='replace'
+    assert sniff_charset("naïve".encode("utf-8"))[2] == "naïve"

@@ -54,10 +54,10 @@ def _py_paragraph_dedup(docs, k=textops.PARA_TOKENS):
                          hashlib.md5(para.encode()).hexdigest()))
     first = {}
     for did, pos, ph in rows:
-        key = did * 10000 + pos
+        key = (did, pos)
         if ph not in first or key < first[ph]:
             first[ph] = key
-    return {(did, pos): (ph, did * 10000 + pos == first[ph])
+    return {(did, pos): (ph, (did, pos) == first[ph])
             for did, pos, ph in rows}
 
 
@@ -72,6 +72,23 @@ def test_paragraph_dedup_matches_python_twin(spark):
     dropped = {v[0] for v in got.values() if not v[1]}
     kept = {v[0] for v in got.values() if v[1]}
     assert dropped and dropped <= kept
+
+
+def test_paragraph_dedup_survives_10k_paragraph_docs(spark):
+    """Regression for the retired doc_id*10000+pos first-seen packing:
+    doc 0's paragraph at pos 10001 packed to the same BIGINT as doc 1's
+    paragraph at pos 1, so a shared paragraph tied and BOTH rows kept.
+    The struct key must keep doc 0's occurrence and drop doc 1's."""
+    k = 1  # one token per paragraph -> pos == token index
+    shared = "sentinel"
+    doc0 = " ".join([f"tok{i}" for i in range(10000)] + [shared])
+    doc1 = " ".join([shared, "tail1"])
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1)], "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["keep"]
+           for r in textops.paragraph_dedup_df(docs, k=k).collect()}
+    assert got[(0, 10001)] is True
+    assert got[(1, 1)] is False
 
 
 def test_host_degree_stats_matches_twin(spark):
