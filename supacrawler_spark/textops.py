@@ -229,32 +229,54 @@ def ngram_jaccard_pairs(spark, sf_dir, threshold: float = 0.8,
             .select("doc_a", "doc_b", "n_inter", "jaccard"))
 
 
-def lsh_verified_pairs(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+LSH_SMALL_PAIRS = 1_000_000
+"""Candidate-pair bound below which the verification dims (pair list,
+candidate-doc ids, shingle-size table — all fixed-width, ≤3 BIGINTs per
+row, so ≲50 MB at the bound) broadcast. Above it — a duplicate-heavy
+corpus (boilerplate-dominated, mirror-heavy Common-Crawl shards) where
+LSH candidates are a large multiple of docs — every join falls back to
+a co-partitioned shuffle equi-join; nothing broadcast-sized is allowed
+to grow with dup density. Same driver-known-bound gating discipline as
+CC_SMALL_EDGES and fetch_join's sched_bound."""
+
+
+def lsh_verified_pairs(spark, sf_dir, threshold: float = 0.8,
+                       force_shuffle: bool = False) -> DataFrame:
     """The scale path for near-dup verification: exact n-gram Jaccard
     computed ONLY for LSH candidate pairs (minhash_lsh_pairs), over the
     FULL corpus — no doc_id bound, no raw shingle self-join.
 
-    Scale shape: candidates are a vanishing fraction of docs, so the
-    candidate-doc id set broadcasts; the heavy shingle table is
-    semi-join-filtered map-side before any shuffle, and the
-    intersection join only ever touches candidate-doc shingles. A hot
-    shingle shared by non-candidate docs never enters a join."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    Scale shape: the candidate pairs are materialized once
+    (localCheckpoint — the plan consumes them three times) and counted
+    against LSH_SMALL_PAIRS. Below the bound (the normal regime:
+    candidates are a vanishing fraction of docs) the candidate-doc id
+    set, the pair list and the size dims broadcast, so the heavy
+    shingle table is semi-join-filtered map-side before any shuffle
+    and the intersection join only ever touches candidate-doc
+    shingles. Above the bound every dim joins as a plain shuffle
+    equi-join instead — adversarial dup density degrades to extra
+    shuffles, never a driver OOM. Either way a hot shingle shared by
+    non-candidate docs never enters a join. ``force_shuffle`` pins the
+    fallback for tests."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
+    small = (not force_shuffle and
+             pairs.limit(LSH_SMALL_PAIRS + 1).count() <= LSH_SMALL_PAIRS)
+    dim = F.broadcast if small else (lambda df: df)
     sh = shingles(_docs(spark, sf_dir)).distinct()
     cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
                  .union(pairs.select(F.col("doc_b").alias("doc_id")))
                  .distinct())
-    shc = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    shc = sh.join(dim(cand_docs), "doc_id", "left_semi")
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = shc.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shc.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (a.join(F.broadcast(pairs), "doc_a")
+    inter = (a.join(dim(pairs), "doc_a")
              .join(b, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("n_inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    j = (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    j = (inter.join(dim(sa), "doc_a").join(dim(sb), "doc_b")
          .withColumn("jaccard",
                      F.col("n_inter") /
                      (F.col("n_a") + F.col("n_b") - F.col("n_inter"))))

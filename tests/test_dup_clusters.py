@@ -205,3 +205,17 @@ def test_cc_driver_path_equals_distributed(spark):
                 for r in connected_components(
                     df, force_distributed=True).collect()}
         assert fast == slow, f"trial {trial}"
+
+
+def test_lsh_verified_pairs_shuffle_path_equals_broadcast(spark):
+    """The LSH_SMALL_PAIRS gate must be invisible: the shuffle-join
+    fallback (adversarial dup density) returns the exact same verified
+    pairs as the broadcast-dim fast path (mirror of
+    test_cc_driver_path_equals_distributed)."""
+    fast = {(r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"]) for r in
+            textops.lsh_verified_pairs(spark, SF_DIR).collect()}
+    slow = {(r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"]) for r in
+            textops.lsh_verified_pairs(
+                spark, SF_DIR, force_shuffle=True).collect()}
+    assert fast == slow
+    assert len(fast) > 0  # the fixture corpus must exercise the path

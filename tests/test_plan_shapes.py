@@ -217,3 +217,21 @@ def test_dup_span_removal_first_owner_is_partial_agg(spark):
     plan = _plan(textops.dup_span_removal(spark, "/root/testdata/sf0.001"))
     # a partial_min(...) aggregate appears under the gh exchange
     assert "partial_min" in plan or "partial_first" in plan, plan
+
+
+def test_lsh_verified_pairs_fallback_has_no_broadcast(
+        spark, no_aqe_no_autobroadcast):
+    """Above LSH_SMALL_PAIRS (pinned via force_shuffle) every
+    verification dim joins as a shuffle equi-join: zero
+    BroadcastExchange anywhere in the plan, so a duplicate-heavy
+    corpus can never OOM the driver. The fast path keeps its
+    broadcast-dim shape."""
+    from supacrawler_spark.textops import lsh_verified_pairs
+
+    sf = "/root/testdata/sf0.001"
+    fallback = _plan(lsh_verified_pairs(spark, sf, force_shuffle=True))
+    assert "BroadcastExchange" not in fallback, fallback
+    assert "BroadcastHashJoin" not in fallback, fallback
+
+    fast = _plan(lsh_verified_pairs(spark, sf))
+    assert "BroadcastHashJoin" in fast, fast
