@@ -398,6 +398,40 @@ def simhash_near_dup(spark, sf_dir, bits: int = SIMHASH_ND_BITS,
 CC_SMALL_EDGES = 100_000
 
 
+def _cc_small_head(edges: DataFrame):
+    """Collect up to CC_SMALL_EDGES+1 (src, dst) rows in ONE job — the
+    driver-known-bound gate AND (when small) the data itself, so the
+    small path never materializes the edge pipeline twice. Returns the
+    row list when the edge set is under the bound, else None."""
+    head = edges.select(F.col("src").cast("long"),
+                        F.col("dst").cast("long")) \
+        .limit(CC_SMALL_EDGES + 1).collect()
+    return head if len(head) <= CC_SMALL_EDGES else None
+
+
+def _union_find(head) -> dict:
+    """Driver-side union-find over collected (src, dst) rows ->
+    {node: min-id component}. Path-halving + min-root union keeps the
+    component label equal to the min node id, matching the distributed
+    min-label propagation bit-for-bit."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in head:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          force_distributed: bool = False) -> DataFrame:
     """Undirected edge list ``(src, dst)`` -> ``(id, component)`` where
@@ -433,28 +467,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     """
     spark = edges.sparkSession
     if not force_distributed:
-        head = edges.select(F.col("src").cast("long"),
-                            F.col("dst").cast("long")) \
-            .limit(CC_SMALL_EDGES + 1).collect()
-        if len(head) <= CC_SMALL_EDGES:
-            parent: dict = {}
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for r in head:
-                a, b = r[0], r[1]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-            rows = [(n, find(n)) for n in parent]
-            return spark.createDataFrame(
-                rows, "id long, component long")
+        head = _cc_small_head(edges)
+        if head is not None:
+            comp = _union_find(head)
+            import pandas as pd
+            pdf = pd.DataFrame({"id": list(comp.keys()),
+                                "component": list(comp.values())},
+                               dtype="int64")
+            # Arrow-path createDataFrame (enabled in session.py):
+            # ~100k rows transfer as one Arrow batch, not pickled rows
+            return spark.createDataFrame(pdf, "id long, component long")
     sym = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")).union(
         edges.select(F.col("dst").cast("long").alias("src"),
@@ -491,9 +513,9 @@ def dup_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     not duplicates and are omitted (they would be size-1 clusters of
     themselves). The size is a window count over cluster_id — the
     same single hash shuffle a groupBy+join would cost."""
-    # localCheckpoint (in _clusters_from_edges): the symmetrizing union
-    # in connected_components reads its input twice — checkpoint so the
-    # LSH pipeline runs once
+    # edge materialization policy lives in _clusters_from_edges: one
+    # collect below CC_SMALL_EDGES, localCheckpoint above (the
+    # distributed rounds read the edges repeatedly)
     return _clusters_from_edges(
         _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
                        "doc_a", "doc_b"))
@@ -506,8 +528,32 @@ def _cluster_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
 def _clusters_from_edges(edges: DataFrame) -> DataFrame:
     """(src, dst) near-dup edges -> (doc_id, cluster_id, cluster_size)
     via connected components; cluster_id = min doc_id. Docs in no pair
-    are omitted (size-1 clusters of themselves), like dup_clusters."""
-    cc = connected_components(edges.localCheckpoint())
+    are omitted (size-1 clusters of themselves), like dup_clusters.
+
+    Below CC_SMALL_EDGES the whole thing is ONE Spark job: the gate
+    collect doubles as the data fetch, union-find + cluster sizes run
+    driver-side, and the result ships back as a single Arrow batch —
+    no edge checkpoint, no distinct, no window shuffle (measured: this
+    family's 2->8-core scaling was driver-latency-bound; see BENCH.md).
+    Above the bound: checkpoint the edges (the distributed rounds read
+    them repeatedly) and pay the window shuffle on the tiny label
+    table."""
+    head = _cc_small_head(edges)
+    if head is not None:
+        from collections import Counter
+        import pandas as pd
+        comp = _union_find(head)
+        sizes = Counter(comp.values())
+        nodes = list(comp.keys())
+        pdf = pd.DataFrame(
+            {"doc_id": nodes,
+             "cluster_id": [comp[n] for n in nodes],
+             "cluster_size": [sizes[comp[n]] for n in nodes]},
+            dtype="int64")
+        return edges.sparkSession.createDataFrame(
+            pdf, "doc_id long, cluster_id long, cluster_size long")
+    cc = connected_components(edges.localCheckpoint(),
+                              force_distributed=True)
     w = Window.partitionBy("component")
     return cc.select(
         F.col("id").alias("doc_id"),
@@ -532,13 +578,15 @@ def multi_signal_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     check (lexical overlap) OR the SimHash banded-Hamming check
     (distributional similarity) fires; clusters are connected
     components of the union edge set. Each signal keeps its own
-    banded no-all-pairs candidate generation; the union is a cheap
-    distinct over two tiny pair sets."""
+    banded no-all-pairs candidate generation; the union needs NO
+    distinct — both union-find and min-label propagation are
+    insensitive to duplicate edges, so deduping the edge set would
+    spend a shuffle to change nothing."""
     mh = _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
                         "doc_a", "doc_b")
     sh = _cluster_edges(simhash_near_dup(spark, sf_dir),
                         "doc_id_a", "doc_id_b")
-    return _clusters_from_edges(mh.union(sh).distinct())
+    return _clusters_from_edges(mh.union(sh))
 
 
 def dedup_rate_by_source(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
