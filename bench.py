@@ -43,6 +43,42 @@ import sys
 import tempfile
 import time
 
+# Documented idle reading of kernel_probe() on this box (k=8 procs,
+# 12k pages; calibrated 2026-08-18 at <1% steal: 2834/3084/2734 —
+# best 3084). A probe below PROBE_OK_FRAC x ref means the artifact
+# was recorded inside a co-tenant episode and must be flagged, not
+# trusted (VERDICT r4: BENCH_r04's 1200.4 urls/s was a contaminated
+# record of a ~1489 urls/s engine).
+PROBE_IDLE_REF = float(os.environ.get("BENCH_PROBE_IDLE_REF", "3000"))
+PROBE_OK_FRAC = float(os.environ.get("BENCH_PROBE_OK_FRAC", "0.8"))
+
+
+def kernel_probe(n: int = 12000, k: int = 8, reps: int = 2) -> float:
+    """Spark-free co-tenancy probe: run the crawl's dominant parallel
+    work (the pure-Python extraction kernel) over k OS processes and
+    return the BEST pages/s of ``reps`` back-to-back passes (max is
+    the right estimator for "what is this box capable of right now" —
+    episodes only ever subtract). ~10s total; excluded from every
+    timed region."""
+    import multiprocessing as mp
+
+    scripts = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from bench_kernel_scaling import _pages, work
+
+    htmls = _pages(n)
+    chunks = [htmls[i::k] for i in range(k)]
+    best = 0.0
+    with mp.Pool(k) as p:
+        p.map(work, [c[:100] for c in chunks])  # warm imports
+        for _ in range(reps):
+            t = time.time()
+            p.map(work, chunks)
+            best = max(best, n / (time.time() - t))
+    return round(best, 1)
+
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -81,6 +117,15 @@ def main() -> int:
 
     def log(*a):
         print(*a, file=sys.stderr, flush=True)
+
+    # ---- co-tenancy probe (episode detector, not part of the metric) -------
+    probe_start = kernel_probe()
+    log(f"kernel probe (start): {probe_start} pages/s "
+        f"(idle ref {PROBE_IDLE_REF}, ok >= "
+        f"{round(PROBE_OK_FRAC * PROBE_IDLE_REF)})")
+    if probe_start < PROBE_OK_FRAC * PROBE_IDLE_REF:
+        log("WARNING: box is in a co-tenant episode — this artifact "
+            "will be flagged contaminated; rerun on an idle box")
 
     # ---- corpus generation (timed separately; not part of crawl) -----------
     import duckdb
@@ -213,6 +258,13 @@ def main() -> int:
 
     total = round(sum(timings.values()) - timings["gen_pages"]
                   - timings["warmup"], 2)
+    # stop the session before the end probe: a live 12g-pinned JVM's
+    # GC/background threads depress the probe ~10-25% and would flag
+    # clean runs (measured: 2160 with the session up vs ~2900 without)
+    spark.stop()
+    probe_end = kernel_probe()
+    log(f"kernel probe (end): {probe_end} pages/s")
+    probe_min = min(probe_start, probe_end)
     out = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -225,6 +277,14 @@ def main() -> int:
         "crawl_waves": run.stats["waves"],
         "urls_per_sec": urls_per_sec,
         "crawl_runs_sec": crawl_secs,
+        # co-tenancy evidence: the same extraction kernel, Spark-free,
+        # bracketing the run. contaminated=true means the box was NOT
+        # delivering its documented idle capability while this artifact
+        # was recorded — read the urls/s against BENCH.md's idle
+        # medians, not at face value.
+        "probe_pages_per_sec": {"start": probe_start, "end": probe_end},
+        "probe_idle_ref": PROBE_IDLE_REF,
+        "contaminated": probe_min < PROBE_OK_FRAC * PROBE_IDLE_REF,
     }
     print(json.dumps(out), flush=True)
 
