@@ -15,6 +15,11 @@ Env:
                        the budget-10 politeness run)
   BENCH_SKIP_QUERIES=1 crawl only (scaling campaigns)
   BENCH_SEEN_FILTER    URL-seen pre-filter: bloom (default) | cuckoo | off
+  BENCH_DELAY_MS       per-host politeness delay (default unset): folds
+                       into B_eff = ceil(wave_window_ms/delay) per host
+                       — the delay-BINDING politeness config
+  BENCH_PROBE_IDLE_REF idle reference for the co-tenancy kernel probe
+                       (pages/s at 8 procs; default 3000)
   BENCH_CRAWL_RUNS     measured-crawl repetitions (default 3): the
                        headline crawl number is the MEDIAN of R
                        identically-configured back-to-back runs — this
@@ -160,7 +165,14 @@ def main() -> int:
     # determinization of (10 parallel, 500 ms delay) — carrying the raw
     # delay in the dim as well would double-count it now that
     # crawl_delay folds into B_eff (params.wave_window_ms).
-    pol = gen_politeness_df(spark, max_parallel=budget, delay_ms=None)
+    # BENCH_DELAY_MS=<n> switches to the delay-BINDING config: every
+    # host gets a real per-request delay and the fold caps each wave at
+    # B_eff = min(budget, ceil(wave_window_ms / delay)) per host — the
+    # deferred-wave dynamics (politeness_select's deferred re-ranking
+    # every wave) are then measured, not just trace-tested.
+    delay_env = os.environ.get("BENCH_DELAY_MS")
+    delay_ms = int(delay_env) if delay_env else None
+    pol = gen_politeness_df(spark, max_parallel=budget, delay_ms=delay_ms)
 
     # Steady-state warm-up, excluded from the timed region: a throwaway
     # depth-1 crawl through the same code paths compiles the wave plans
@@ -277,6 +289,7 @@ def main() -> int:
         "crawl_waves": run.stats["waves"],
         "urls_per_sec": urls_per_sec,
         "crawl_runs_sec": crawl_secs,
+        "delay_ms": delay_ms,
         # co-tenancy evidence: the same extraction kernel, Spark-free,
         # bracketing the run. contaminated=true means the box was NOT
         # delivering its documented idle capability while this artifact

@@ -31,7 +31,6 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
@@ -62,6 +61,7 @@ from supacrawler_spark.schemas import (
     LINEAGE_SCHEMA,
     RESULT_SCHEMA,
 )
+from supacrawler_spark.plans.state import ParquetStateBackend, StateBackend
 from supacrawler_spark.sources import prepare_pages
 
 BLOOM_THRESHOLD = 100_000
@@ -103,17 +103,21 @@ class CrawlRun:
     stats: dict = field(default_factory=dict)
     manifest: list = field(default_factory=list)
     link_limit: int = 0
+    backend: "StateBackend | None" = None
+
+    def _backend(self) -> StateBackend:
+        if self.backend is None:
+            self.backend = ParquetStateBackend(self.spark, self.state_dir,
+                                               run_id=self.run_id)
+        return self.backend
 
     def _results_all(self) -> DataFrame:
-        p = os.path.join(self.state_dir, "results")
-        if not self.manifest or not os.path.isdir(p):
+        df = (self._backend().read_all("results", RESULT_SCHEMA)
+              if self.manifest else None)
+        if df is None:
             # zero committed waves (e.g. politeness starved wave 0)
             return self.spark.createDataFrame([], RESULT_SCHEMA)
-        return (self.spark.read.schema(RESULT_SCHEMA)
-                .option("recursiveFileLookup", "true").parquet(p))
-
-    def _p(self, name: str, it: int) -> str:
-        return os.path.join(self.state_dir, name, f"{it:05d}")
+        return df
 
     @property
     def results(self) -> DataFrame:
@@ -145,9 +149,10 @@ class CrawlRun:
 
     @property
     def lineage(self) -> DataFrame:
-        return (self.spark.read.schema(LINEAGE_SCHEMA)
-                .option("recursiveFileLookup", "true")
-                .parquet(os.path.join(self.state_dir, "lineage")))
+        df = self._backend().read_all("lineage", LINEAGE_SCHEMA)
+        if df is None:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return df
 
 
 def bucketize_pages(spark, pages_df: DataFrame, table: str = "pages_bucketed",
@@ -166,32 +171,12 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def _prune_uncommitted(state_dir: str, last_iter: int) -> None:
-    """Delete per-wave state dirs beyond the last committed manifest
-    line. Wave i's frontier/results/lineage files are written BEFORE
-    the manifest line that commits them; after a crash in that window
-    the orphan files must not be visible to a resumed run — known_df()
-    would anti-join the regenerated candidates against the orphan's
-    is_new rows and silently drop a whole wave of discoveries, and
-    _results_all() would double-count the orphan results."""
-    for name in ("frontier", "results", "lineage"):
-        base = os.path.join(state_dir, name)
-        if not os.path.isdir(base):
-            continue
-        for d in os.listdir(base):
-            try:
-                i = int(d)
-            except ValueError:
-                continue
-            if i > last_iter:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-
-
-def _read_frontier(spark, path: str, seedset: "_SeedSet") -> DataFrame:
-    """Schedulable frontier view of a committed frontier file: the
+def _schedulable_frontier(raw: DataFrame, seedset: "_SeedSet") -> DataFrame:
+    """Schedulable frontier view of a committed frontier wave: the
     is_new seed-pointing rows are known-set-only entries, never
-    scheduled."""
-    raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(path)
+    scheduled. (Crash-window hygiene — pruning wave tables written
+    after the last committed manifest line — lives on the state
+    backend: StateBackend.prune_uncommitted.)"""
     return (seedset.flag(raw)
             .filter(~(F.col("is_new") & F.col("_seed")))
             .select(*FRONTIER_SCHEMA.fieldNames()))
@@ -385,6 +370,7 @@ def run_crawl(
     cache_pages: bool = True,
     scrape_cache: "DataFrame | None" = None,
     transport=None,
+    state_backend: "StateBackend | None" = None,
 ) -> CrawlRun:
     """Run a crawl over the corpus. See module docstring and oracle.py
     for the exact semantics contract.
@@ -423,6 +409,14 @@ def run_crawl(
     header profiles resolved per row) instead of the corpus join; a
     transport serving the corpus is crawl-identical to the join
     (tests/test_transport.py).
+
+    ``state_backend``: the state-table layer (plans/state.py — the
+    Iceberg seam). None (default) uses ParquetStateBackend (per-wave
+    parquet dirs + JSONL manifest under ``state_dir``, the historical
+    layout); CatalogStateBackend routes the same commit protocol
+    through Spark SQL catalog tables (the shape a real Iceberg
+    adapter takes). Trace equivalence across backends is pinned by
+    tests/test_state_backends.py.
     """
     params = params or CrawlParams()
     t_init = time.time()
@@ -430,11 +424,14 @@ def run_crawl(
     if own_state:
         state_dir = tempfile.mkdtemp(prefix="supacrawler_state_")
     os.makedirs(state_dir, exist_ok=True)
-    manifest_path = os.path.join(state_dir, "manifest.jsonl")
-    if not resume and os.path.exists(manifest_path):
+    backend = state_backend or ParquetStateBackend(
+        spark, state_dir, known_buckets=KNOWN_BUCKETS,
+        known_compact_every=KNOWN_COMPACT_EVERY)
+    if not resume and backend.has_state():
         # a fresh run over a used state dir: clear it NOW, before the
         # corpus/seeds materialize into it (clearing later would delete
         # files this run just wrote and already handed to lazy readers)
+        backend.reset()
         shutil.rmtree(state_dir)
         os.makedirs(state_dir)
 
@@ -524,10 +521,7 @@ def run_crawl(
                 max_budget = max(int(_mb), default_host_budget)
 
     # ---- init / resume ----------------------------------------------------
-    manifest = []
-    if resume and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = [json.loads(l) for l in f if l.strip()]
+    manifest = backend.read_manifest() if resume else []
     seedset = _SeedSet(spark, seeds, state_dir, resume=bool(manifest),
                        force_dim=seed_dim)
     if manifest:
@@ -541,9 +535,9 @@ def run_crawl(
         run_id = last["run_id"]
         hosts_est = last.get("hosts_next")
         prev_sched = last.get("scheduled")
-        frontier = _read_frontier(
-            spark, os.path.join(state_dir, "frontier",
-                                f"{last['iter']:05d}"), seedset)
+        frontier = _schedulable_frontier(
+            backend.read_wave("frontier", last["iter"],
+                              FRONTIER_DISK_SCHEMA), seedset)
         n_frontier = last["n_frontier_next"]
     else:
         it0 = 0
@@ -557,9 +551,10 @@ def run_crawl(
         discovered_cnt = 0
         hosts_est = None
         prev_sched = None
-    # crash-window hygiene: drop any wave files newer than the last
+    backend.run_id = run_id  # known-table namespace (parquet backend)
+    # crash-window hygiene: drop any wave tables newer than the last
     # committed manifest line (all of them on a fresh start)
-    _prune_uncommitted(state_dir, manifest[-1]["iter"] if manifest else -1)
+    backend.prune_uncommitted(manifest[-1]["iter"] if manifest else -1)
 
     # Bloom engages lazily: below BLOOM_THRESHOLD known keys the exact
     # anti-join alone is faster than the probe shuffle; at the 10^10
@@ -615,13 +610,10 @@ def run_crawl(
         the frontier table doubles as the known table — one write per
         wave, two roles. Duplicates would be harmless anyway (the
         consumer is a LEFT ANTI join)."""
-        p = os.path.join(state_dir, "frontier")
-        if os.path.exists(p):
-            return (spark.read.schema(FRONTIER_DISK_SCHEMA)
-                    .option("recursiveFileLookup", "true")
-                    .parquet(p).filter("is_new")
-                    .select("url", "url_hash"))
-        return None
+        raw = backend.read_all("frontier", FRONTIER_DISK_SCHEMA)
+        if raw is None:
+            return None
+        return raw.filter("is_new").select("url", "url_hash")
 
     # ---- bucketed known-state table (module docstring scale note) ---------
     # Engaged above KNOWN_TABLE_THRESHOLD (or forced by bucket_known):
@@ -630,54 +622,17 @@ def run_crawl(
     # candidates exchange into the table's partitioning, the known
     # side NEVER re-shuffles, and per-wave anti-join cost stops
     # growing with wave count. The table is derived state: (re)built
-    # from committed frontier files on engage/resume (overwrite also
+    # from committed frontier waves on engage/resume (overwrite also
     # discards any crash-orphaned append), appended per committed
     # wave, compacted into the next generation every
-    # KNOWN_COMPACT_EVERY appends.
-    known_state = {"tbl": None, "gen": 0, "appends": 0}
-
-    def _known_write(df, gen: int) -> str:
-        name = f"known_{run_id}_{gen}"
-        (df.repartition(KNOWN_BUCKETS, "url")  # one file/bucket/write
-         .write.mode("overwrite").format("parquet")
-         .bucketBy(KNOWN_BUCKETS, "url")
-         .option("path", os.path.join(state_dir, f"known_{gen}"))
-         .saveAsTable(name))
-        return name
+    # KNOWN_COMPACT_EVERY appends. Storage lives on the state backend
+    # (StateBackend.known_*).
 
     def _known_engage() -> None:
         src = _known_files_df()
         if src is None:
             return
-        known_state["tbl"] = _known_write(src, known_state["gen"])
-        known_state["appends"] = 0
-        # housekeeping: a prior run may have compacted to gen>0 before
-        # ending; engage rebuilds at gen 0, so any other known_<gen>
-        # directory left in state_dir is an orphan — remove it
-        # (correctness never depends on these: the rebuild re-derives
-        # the table from committed frontier files)
-        keep = f"known_{known_state['gen']}"
-        for d in os.listdir(state_dir):
-            if d.startswith("known_") and d != keep:
-                shutil.rmtree(os.path.join(state_dir, d),
-                              ignore_errors=True)
-
-    def _known_append(df) -> None:
-        (df.repartition(KNOWN_BUCKETS, "url")
-         .write.mode("append").format("parquet")
-         .bucketBy(KNOWN_BUCKETS, "url")
-         .saveAsTable(known_state["tbl"]))
-        spark.catalog.refreshTable(known_state["tbl"])
-        known_state["appends"] += 1
-        if known_state["appends"] >= KNOWN_COMPACT_EVERY:
-            old_tbl, old_gen = known_state["tbl"], known_state["gen"]
-            gen = old_gen + 1
-            known_state["tbl"] = _known_write(spark.table(old_tbl), gen)
-            known_state["gen"] = gen
-            known_state["appends"] = 0
-            spark.sql(f"DROP TABLE IF EXISTS {old_tbl}")
-            shutil.rmtree(os.path.join(state_dir, f"known_{old_gen}"),
-                          ignore_errors=True)
+        backend.known_rebuild(src)
 
     # like the bloom adds, the known append only has to land before
     # the NEXT wave's anti-join reads the table — run it on a
@@ -693,7 +648,7 @@ def run_crawl(
     def _known_append_async(df):
         def work():
             try:
-                _known_append(df)
+                backend.known_append(df)
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 known_errors.append(e)
         th = threading.Thread(target=work, daemon=True)
@@ -707,8 +662,8 @@ def run_crawl(
             raise known_errors[0]
 
     def known_df() -> "DataFrame | None":
-        if known_state["tbl"] is not None:
-            return spark.table(known_state["tbl"])
+        if backend.known_active():
+            return backend.known_read()
         return _known_files_df()
 
     # Seed-membership semantics (why seeds are excluded from the known
@@ -868,7 +823,6 @@ def run_crawl(
         if cache_hits is not None:
             results = results.unionByName(
                 cache_hits.select(*[f.name for f in RESULT_SCHEMA.fields]))
-        res_path = os.path.join(state_dir, "results", f"{it:05d}")
         t_fetch = time.time()
         # per-wave aggregates ride the write actions as observed
         # metrics — zero standalone aggregation jobs per wave (every
@@ -878,10 +832,10 @@ def run_crawl(
             obs_res, F.count(F.lit(1)).alias("sched"),
             F.sum(F.col("success").cast("long")).alias("succ"),
             F.sum(F.col("error").isNotNull().cast("long")).alias("fail"))
-        _write(results, res_path)
+        backend.write_wave("results", it, results)
         res_m = obs_res.get
         stage_ms = {"fetch_extract": int((time.time() - t_fetch) * 1000)}
-        res_df = spark.read.schema(RESULT_SCHEMA).parquet(res_path)
+        res_df = backend.read_wave("results", it, RESULT_SCHEMA)
 
         if collect_lineage:
             lin = (res_df.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -890,7 +844,7 @@ def run_crawl(
                            F.lit(it).alias("iter"),
                            F.lit("extract").alias("stage"),
                            "partition_id", "rows"))
-            _write(lin, os.path.join(state_dir, "lineage", f"{it:05d}"))
+            backend.write_wave("lineage", it, lin)
 
         # 5. discovery: emission filters -> known-dedup -> cap, fused
         # with the frontier commit: ONE write (deferred is_new=false ∪
@@ -904,7 +858,7 @@ def run_crawl(
             # the anti-join below must see every known append issued
             _known_join()
             if (bucket_known is not False
-                    and known_state["tbl"] is None
+                    and not backend.known_active()
                     and (bucket_known is True
                          or discovered_cnt > KNOWN_TABLE_THRESHOLD)):
                 _known_engage()
@@ -984,7 +938,6 @@ def run_crawl(
             next_frontier = next_frontier.unionByName(
                 retry_rows.select(*FRONTIER_SCHEMA.fieldNames())
                 .withColumn("is_new", F.lit(False)))
-        fr_path = os.path.join(state_dir, "frontier", f"{it:05d}")
         next_frontier = seedset.flag(next_frontier)
         sched_cond = ~(F.col("is_new") & F.col("_seed"))
         obs_fr = Observation(f"fr_{run_id}_{it}")
@@ -996,9 +949,9 @@ def run_crawl(
                 F.when(sched_cond, F.col("host"))).alias("hosts")
         ).drop("_seed")
         t_s = time.time()
-        _write(next_frontier, fr_path)
+        backend.write_wave("frontier", it, next_frontier)
         fr_m = obs_fr.get
-        raw = spark.read.schema(FRONTIER_DISK_SCHEMA).parquet(fr_path)
+        raw = backend.read_wave("frontier", it, FRONTIER_DISK_SCHEMA)
         wave_sched = int(res_m["sched"] or 0)
         prev_sched = wave_sched
         wave_succ = int(res_m["succ"] or 0)
@@ -1018,13 +971,13 @@ def run_crawl(
             # oracle's empty-selection exit — the empty wave is not
             # committed (no manifest line, files pruned), instead of
             # looping to max_waves at fixed driver cost per iteration.
-            _prune_uncommitted(state_dir, it - 1)
+            backend.prune_uncommitted(it - 1)
             break
-        frontier = _read_frontier(spark, fr_path, seedset)
+        frontier = _schedulable_frontier(raw, seedset)
         if not limit_reached:
             if bloom_built and n_new:
                 _bloom_add_async(raw.filter("is_new").select("url_hash"))
-            if known_state["tbl"] is not None and n_new:
+            if backend.known_active() and n_new:
                 # this wave's accepted candidates become `known` for
                 # wave it+1 (joined before that wave's anti-join);
                 # crash before the manifest line is healed by the
@@ -1050,17 +1003,13 @@ def run_crawl(
                     wall_ms=int((time.time() - t0) * 1000),
                     stage_ms=stage_ms)
         manifest.append(line)
-        with open(manifest_path, "a" if it != 0 or resume else "w") as f:
-            f.write(json.dumps(line) + "\n")
+        backend.append_manifest(line, truncate=(it == 0 and not resume))
         it += 1
 
     t_post = time.time()
     _bloom_join()  # bloom state must be durable before the run returns
     _known_join()
-    if known_state["tbl"] is not None:
-        # catalog entry is session-scoped derived state; the files are
-        # rebuildable from frontier commits (resume re-engages)
-        spark.sql(f"DROP TABLE IF EXISTS {known_state['tbl']}")
+    backend.known_close()
     spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
     spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
     spark.conf.set("spark.sql.files.maxPartitionBytes", base_split)
@@ -1069,7 +1018,7 @@ def run_crawl(
         pages_prep.unpersist()
     pages_urls.unpersist()
     run = CrawlRun(spark=spark, state_dir=state_dir, run_id=run_id,
-                   manifest=manifest, link_limit=L)
+                   manifest=manifest, link_limit=L, backend=backend)
     n_res = min(successes, L) if L > 0 else successes
     # Failed-page count: without retries every error url is scheduled
     # exactly once, so the per-wave observed sums ARE the distinct

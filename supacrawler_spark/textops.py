@@ -485,19 +485,26 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
               .agg(F.min("dst").alias("nbr"))
               .select("id", F.least("id", "nbr").alias("component"))
               .localCheckpoint())
-    for _ in range(max_iter):
+    from pyspark.sql import Observation
+    for rnd in range(max_iter):
         prop = (sym.join(labels.select(F.col("id").alias("dst"),
                                        F.col("component").alias("c")), "dst")
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("c").alias("nbr_min")))
+        # the convergence count rides the checkpoint materialization as
+        # an observed metric — ONE action per round, not two (the
+        # per-round driver latency is this loop's Amdahl term)
+        obs = Observation(f"cc_{id(edges)}_{rnd}")
         nxt = (labels.join(prop, "id", "left")
                .select("id",
                        F.col("component").alias("old"),
                        F.least("component",
                                F.coalesce("nbr_min", "component"))
                        .alias("component"))
+               .observe(obs, F.sum((F.col("component") < F.col("old"))
+                                   .cast("long")).alias("changed"))
                .localCheckpoint())
-        changed = nxt.filter(F.col("component") < F.col("old")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = nxt.select("id", "component")
         if changed == 0:
             break
