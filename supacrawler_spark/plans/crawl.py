@@ -8,14 +8,17 @@ One Spark job pipeline per BFS wave:
       ^                                                       |
       +---- next frontier <-- dedup/cap <-- emission filters <-+ explode
 
-State is a directory of per-wave parquet appends + a JSONL manifest
-(the Iceberg-snapshot role, SURVEY.md §7.1.6 — the table layer is
-pluggable; no Iceberg jars ship in this sandbox). A wave is committed
-iff its manifest line exists; every wave's writes are overwrite-
-idempotent, so a crash mid-wave resumes cleanly from the last manifest
-line (north_rule "resumable from checkpoint"). Per-wave parquet
-materialization also truncates the iterative plan lineage — without it
-the logical plan grows unboundedly across waves.
+State lives behind the StateBackend seam (plans/state.py — the
+Iceberg-snapshot role, SURVEY.md §7.1.6): per-wave tables + a
+wave-commit manifest, ParquetStateBackend (dirs + JSONL) by default,
+CatalogStateBackend (Spark SQL catalog tables, the real-Iceberg
+adapter shape) as the pluggability proof; no Iceberg jars ship in
+this sandbox. A wave is committed iff its manifest entry exists;
+every wave's writes are overwrite-idempotent, so a crash mid-wave
+resumes cleanly from the last committed wave (north_rule "resumable
+from checkpoint"). Per-wave materialization also truncates the
+iterative plan lineage — without it the logical plan grows
+unboundedly across waves.
 
 Scale notes (10^10 frontier):
 - no driver-side collect of frontier/result data — the driver holds
