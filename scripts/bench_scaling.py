@@ -58,6 +58,16 @@ def main():
     def agg(fn, cpus, key):
         return round(fn(x[key] for x in results[cpus]), 2)
 
+    # persist every raw leg (incl. bench.py's embedded kernel-probe
+    # readings) so a campaign's contamination evidence survives the run
+    raw_path = os.environ.get("SCALE_RAW_OUT")
+    if raw_path:
+        with open(raw_path, "w") as f:
+            json.dump({str(k): v for k, v in results.items()}, f)
+
+    def probes(cpus):
+        return [x.get("probe_pages_per_sec") for x in results[cpus]]
+
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "unit": "ratio",
@@ -87,6 +97,12 @@ def main():
         "urls": results[n_big][-1]["urls_scheduled"],
         "pages": results[n_big][-1]["pages"],
         "n_small": n_small, "n_big": n_big,
+        # per-leg co-tenancy evidence (bench.py kernel probe, start/end)
+        "probes_small": probes(n_small),
+        "probes_big": probes(n_big),
+        "contaminated_legs": sum(
+            1 for c in (n_small, n_big) for x in results[c]
+            if x.get("contaminated")),
     }
     print(json.dumps(summary), flush=True)
 
