@@ -246,21 +246,30 @@ def lsh_verified_pairs(spark, sf_dir, threshold: float = 0.8,
     computed ONLY for LSH candidate pairs (minhash_lsh_pairs), over the
     FULL corpus — no doc_id bound, no raw shingle self-join.
 
-    Scale shape: the candidate pairs are materialized once
-    (localCheckpoint — the plan consumes them three times) and counted
-    against LSH_SMALL_PAIRS. Below the bound (the normal regime:
-    candidates are a vanishing fraction of docs) the candidate-doc id
-    set, the pair list and the size dims broadcast, so the heavy
-    shingle table is semi-join-filtered map-side before any shuffle
-    and the intersection join only ever touches candidate-doc
-    shingles. Above the bound every dim joins as a plain shuffle
-    equi-join instead — adversarial dup density degrades to extra
+    Scale shape: the candidate pairs are gated against LSH_SMALL_PAIRS
+    in ONE job — a ``limit(N+1)`` Arrow fetch that, below the bound, IS
+    the materialization (the ``_cc_small_head`` pattern): the pair list
+    becomes a driver-local table, so the three plan consumers pay zero
+    recompute and the gate costs no second action. Below the bound (the
+    normal regime: candidates are a vanishing fraction of docs) the
+    candidate-doc id set, the pair list and the size dims broadcast, so
+    the heavy shingle table is semi-join-filtered map-side before any
+    shuffle and the intersection join only ever touches candidate-doc
+    shingles. Above the bound the pairs localCheckpoint instead (the
+    distributed consumers re-read them) and every dim joins as a plain
+    shuffle equi-join — adversarial dup density degrades to extra
     shuffles, never a driver OOM. Either way a hot shingle shared by
     non-candidate docs never enters a join. ``force_shuffle`` pins the
     fallback for tests."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).localCheckpoint()
-    small = (not force_shuffle and
-             pairs.limit(LSH_SMALL_PAIRS + 1).count() <= LSH_SMALL_PAIRS)
+    pairs_src = minhash_lsh_pairs(spark, sf_dir)
+    small = False
+    if not force_shuffle:
+        head = pairs_src.limit(LSH_SMALL_PAIRS + 1).toPandas()
+        if len(head) <= LSH_SMALL_PAIRS:
+            small = True
+            pairs = spark.createDataFrame(head, schema=pairs_src.schema)
+    if not small:
+        pairs = pairs_src.localCheckpoint()
     dim = F.broadcast if small else (lambda df: df)
     sh = shingles(_docs(spark, sf_dir)).distinct()
     cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
