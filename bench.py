@@ -20,6 +20,16 @@ Env:
                        — the delay-BINDING politeness config
   BENCH_PROBE_IDLE_REF idle reference for the co-tenancy kernel probe
                        (pages/s at 8 procs; default 3000)
+  BENCH_RETRY=0        disable the bounded contamination retry: by
+                       default, if the probes bracket the crawl leg
+                       dirty, bench waits (up to BENCH_RETRY_WAIT_S,
+                       default 600s, polling the probe) for the box to
+                       recover and re-runs the crawl leg ONCE, adopting
+                       the retry iff ITS bracket is clean (round-4
+                       lesson: the committed BENCH_r04.json recorded a
+                       co-tenant episode, not the engine)
+  BENCH_FORCE_RETRY=1  test hook: treat the first attempt as dirty
+                       regardless of probes, to exercise the retry path
   BENCH_CRAWL_RUNS     measured-crawl repetitions (default 3): the
                        headline crawl number is the MEDIAN of R
                        identically-configured back-to-back runs — this
@@ -83,6 +93,18 @@ def kernel_probe(n: int = 12000, k: int = 8, reps: int = 2) -> float:
             p.map(work, chunks)
             best = max(best, n / (time.time() - t))
     return round(best, 1)
+
+
+def wait_for_idle(max_wait_s: float, poll_s: float = 45.0) -> float:
+    """Poll the kernel probe until the box reads clean or the window
+    expires; return the last reading. Each probe is ~10s of work, so
+    the poll sleep dominates the wait."""
+    deadline = time.time() + max_wait_s
+    p = kernel_probe()
+    while p < PROBE_OK_FRAC * PROBE_IDLE_REF and time.time() < deadline:
+        time.sleep(poll_s)
+        p = kernel_probe()
+    return p
 
 
 def main() -> int:
@@ -174,62 +196,69 @@ def main() -> int:
     delay_ms = int(delay_env) if delay_env else None
     pol = gen_politeness_df(spark, max_parallel=budget, delay_ms=delay_ms)
 
-    # Steady-state warm-up, excluded from the timed region: a throwaway
-    # depth-1 crawl through the same code paths compiles the wave plans
-    # (JIT + whole-stage codegen), spins up the Python worker pool, and
-    # touches the corpus/parquet read path once. Without it, wave 0 of
-    # the measured crawl carries ~16-24s of one-time JVM/worker startup
-    # that is neither work nor per-wave overhead — it would swamp the
-    # N-vs-4N comparison (the metric is steady-state URLs/sec, and any
-    # real deployment runs a warm long-lived session).
-    t0 = time.time()
-    warm = run_crawl(
-        spark, pages_prep, seeds[:2],
-        CrawlParams(depth=1, link_limit=32),
-        politeness_df=pol, default_host_budget=budget,
-        state_dir=os.path.join(work, "warm"), pages_prepared=True,
-        collect_lineage=False, use_bloom=False, cache_pages=False)
-    timings["warmup"] = round(time.time() - t0, 2)
-    log(f"warmup crawl: {warm.stats['urls_scheduled']} urls "
-        f"in {timings['warmup']}s")
-
     import statistics
 
     n_runs = int(os.environ.get("BENCH_CRAWL_RUNS", "3"))
-    crawl_secs = []
-    run = None
-    for i in range(n_runs):
+
+    def crawl_leg(sess, pages, politeness, tag):
+        """Warmup + N measured crawl runs on ``sess``. The warmup is a
+        throwaway depth-1 crawl through the same code paths: it
+        compiles the wave plans (JIT + whole-stage codegen), spins up
+        the Python worker pool, and touches the corpus/parquet read
+        path once. Without it, wave 0 of the measured crawl carries
+        ~16-24s of one-time JVM/worker startup that is neither work
+        nor per-wave overhead (the metric is steady-state URLs/sec,
+        and any real deployment runs a warm long-lived session)."""
         t0 = time.time()
-        run = run_crawl(
-            spark, pages_prep, seeds,
-            CrawlParams(depth=depth, link_limit=link_limit),
-            politeness_df=pol,
-            default_host_budget=budget,  # hosts outside the table
-            #                  (www/sub variants) get the same rate
-            state_dir=os.path.join(work, f"state_{i}"),
+        warm = run_crawl(
+            sess, pages, seeds[:2],
+            CrawlParams(depth=1, link_limit=32),
+            politeness_df=politeness, default_host_budget=budget,
+            state_dir=os.path.join(work, f"warm_{tag}"),
             pages_prepared=True,
-            collect_lineage=False,
-            use_bloom=True,
-            # A/B the URL-seen pre-filter family (bloom | cuckoo | off)
-            seen_filter=os.environ.get("BENCH_SEEN_FILTER") or None,
-            # measured on this box: materializing the corpus into the
-            # Spark block cache costs ~85s (decompress+re-encode of
-            # the fat html column) while a plain warm parquet scan is
-            # ~1-5s/wave — the OS page cache is the right cache for a
-            # corpus this size
-            cache_pages=os.environ.get("BENCH_CACHE_PAGES", "0") == "1",
-        )
-        sec = round(time.time() - t0, 2)
-        crawl_secs.append(sec)
-        log(f"crawl run {i + 1}/{n_runs}: "
-            f"{run.stats['urls_scheduled']} urls, "
-            f"{run.stats['waves']} waves, "
-            f"{run.stats['successful_pages']} pages, {sec}s "
-            f"-> {round(run.stats['urls_scheduled'] / sec, 1)} urls/s")
-        log("  wall decomposition: "
-            f"preloop={run.stats['wall_preloop_ms']}ms "
-            f"waves={run.stats['wall_waves_ms']}ms "
-            f"postloop={run.stats['wall_postloop_ms']}ms")
+            collect_lineage=False, use_bloom=False, cache_pages=False)
+        warm_sec = round(time.time() - t0, 2)
+        log(f"warmup crawl [{tag}]: {warm.stats['urls_scheduled']} urls "
+            f"in {warm_sec}s")
+        secs = []
+        r = None
+        for i in range(n_runs):
+            t0 = time.time()
+            r = run_crawl(
+                sess, pages, seeds,
+                CrawlParams(depth=depth, link_limit=link_limit),
+                politeness_df=politeness,
+                default_host_budget=budget,  # hosts outside the table
+                #                  (www/sub variants) get the same rate
+                state_dir=os.path.join(work, f"state_{tag}_{i}"),
+                pages_prepared=True,
+                collect_lineage=False,
+                use_bloom=True,
+                # A/B the URL-seen pre-filter (bloom | cuckoo | off)
+                seen_filter=os.environ.get("BENCH_SEEN_FILTER") or None,
+                # measured on this box: materializing the corpus into
+                # the Spark block cache costs ~85s (decompress+
+                # re-encode of the fat html column) while a plain warm
+                # parquet scan is ~1-5s/wave — the OS page cache is
+                # the right cache for a corpus this size
+                cache_pages=os.environ.get("BENCH_CACHE_PAGES",
+                                           "0") == "1",
+            )
+            sec = round(time.time() - t0, 2)
+            secs.append(sec)
+            log(f"crawl run {i + 1}/{n_runs} [{tag}]: "
+                f"{r.stats['urls_scheduled']} urls, "
+                f"{r.stats['waves']} waves, "
+                f"{r.stats['successful_pages']} pages, {sec}s "
+                f"-> {round(r.stats['urls_scheduled'] / sec, 1)} urls/s")
+            log("  wall decomposition: "
+                f"preloop={r.stats['wall_preloop_ms']}ms "
+                f"waves={r.stats['wall_waves_ms']}ms "
+                f"postloop={r.stats['wall_postloop_ms']}ms")
+        return warm_sec, secs, r
+
+    timings["warmup"], crawl_secs, run = crawl_leg(spark, pages_prep, pol,
+                                                   "a")
     crawl_sec = round(statistics.median(crawl_secs), 2)
     timings["crawl"] = crawl_sec
     urls = run.stats["urls_scheduled"]
@@ -277,6 +306,73 @@ def main() -> int:
     probe_end = kernel_probe()
     log(f"kernel probe (end): {probe_end} pages/s")
     probe_min = min(probe_start, probe_end)
+
+    # ---- bounded contamination retry (crawl leg only) -----------------------
+    # The headline metric is the crawl's urls/s; if the probes bracket
+    # this attempt dirty, the artifact records the co-tenant episode,
+    # not the engine (exactly what happened to BENCH_r04.json). Wait
+    # for the box to recover and re-run the crawl leg ONCE; adopt the
+    # retry iff its own bracket is clean. At most one retry — a box
+    # that never recovers keeps the original numbers, flagged.
+    ok = PROBE_OK_FRAC * PROBE_IDLE_REF
+    dirty = (probe_min < ok
+             or os.environ.get("BENCH_FORCE_RETRY", "0") == "1")
+    retry_info = None
+    if dirty and os.environ.get("BENCH_RETRY", "1") != "0":
+        wait_s = float(os.environ.get("BENCH_RETRY_WAIT_S", "600"))
+        log("crawl bracket dirty — waiting for the box to recover "
+            f"(up to {wait_s}s), then re-running the crawl leg once")
+        p_start2 = wait_for_idle(wait_s)
+        log(f"kernel probe (retry start): {p_start2} pages/s")
+        if p_start2 >= ok:
+            spark2 = get_spark(master=f"local[{cpus}]",
+                               shuffle_partitions=shuffle,
+                               app_name=f"supacrawler-bench-{cpus}-retry")
+            spark2.sparkContext.setLogLevel("ERROR")
+            spark2.conf.set("spark.supacrawler.smallScanRepartition",
+                            "true")
+            # pages_prep/pol were bound to the stopped session —
+            # rebuild them on the fresh one (same parquet, same dim)
+            pages2 = spark2.read.parquet(pages_path)
+            pol2 = gen_politeness_df(spark2, max_parallel=budget,
+                                     delay_ms=delay_ms)
+            warm2, crawl_secs2, run2 = crawl_leg(spark2, pages2, pol2, "r")
+            spark2.stop()
+            p_end2 = kernel_probe()
+            log(f"kernel probe (retry end): {p_end2} pages/s")
+            retry_info = {
+                "first_attempt": {
+                    "crawl": crawl_sec,
+                    "crawl_runs_sec": crawl_secs,
+                    "probe_pages_per_sec": {"start": probe_start,
+                                            "end": probe_end},
+                },
+                "retry_warmup_sec": warm2,
+            }
+            if min(p_start2, p_end2) >= ok:
+                # clean retry bracket: adopt it as the crawl record
+                total = round(total - crawl_sec
+                              + statistics.median(crawl_secs2), 2)
+                crawl_secs, run = crawl_secs2, run2
+                crawl_sec = round(statistics.median(crawl_secs), 2)
+                timings["crawl"] = crawl_sec
+                urls = run.stats["urls_scheduled"]
+                urls_per_sec = (round(urls / crawl_sec, 1)
+                                if crawl_sec else 0.0)
+                probe_start, probe_end = p_start2, p_end2
+                probe_min = min(probe_start, probe_end)
+                log(f"retry adopted: crawl median {crawl_sec}s -> "
+                    f"{urls_per_sec} urls/s (runs: {crawl_secs})")
+            else:
+                retry_info["rejected_retry_runs_sec"] = crawl_secs2
+                retry_info["rejected_retry_probe"] = {"start": p_start2,
+                                                      "end": p_end2}
+                log("retry bracket also dirty — keeping the original "
+                    "attempt, flagged contaminated")
+        else:
+            log("box never recovered inside the wait window — keeping "
+                "the original attempt, flagged contaminated")
+
     out = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -299,6 +395,10 @@ def main() -> int:
         "probe_idle_ref": PROBE_IDLE_REF,
         "contaminated": probe_min < PROBE_OK_FRAC * PROBE_IDLE_REF,
     }
+    if retry_info is not None:
+        # the crawl leg was re-run after a dirty bracket; first-attempt
+        # numbers and both probe sets are preserved for the record
+        out["crawl_retry"] = retry_info
     print(json.dumps(out), flush=True)
 
     # State-dir hygiene: each run writes ~1.3 GB of crawl state
