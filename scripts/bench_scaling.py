@@ -28,8 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir, BENCH_SKIP_QUERIES="1",
-               BENCH_CRAWL_RUNS="1")  # the campaign interleaves its
-    #                                   own repetition across levels
+               BENCH_CRAWL_RUNS="1",  # the campaign interleaves its
+               #                        own repetition across levels
+               BENCH_RETRY="0")  # and handles contamination at the
+    #              pair level (interleaving + per-leg probes), so a
+    #              leg must record once, never silently re-run
     env.setdefault("BENCH_BUDGET", "32768")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
