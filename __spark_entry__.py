@@ -864,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": textops.token_count,
         "bpe_token_count": textops.bpe_token_count,
         "quality_score": textops.quality_score,
+        "gopher_quality": textops.gopher_quality,
+        "c4_line_filter": textops.c4_line_filter,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,
         # dedup
@@ -1797,6 +1799,60 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) / count(*) AS stopword_ratio, "
             "CAST(sum(length(tok)) AS BIGINT) / count(*) AS avg_token_len "
             "FROM toks GROUP BY doc_id"),
+        "gopher_quality": (
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), "
+            "w -> w <> '') AS ws, "
+            "string_split(text, chr(10)) AS lns FROM documents), "
+            "s AS (SELECT doc_id, "
+            "CAST(len(ws) AS BIGINT) AS n_words, "
+            "CAST(len(lns) AS BIGINT) AS n_lines, "
+            "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)"
+            " AS BIGINT) AS sum_len, "
+            "CAST(len(list_filter(ws, w -> "
+            "regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha, "
+            "CAST(len(list_filter(ws, w -> contains(w, '#') OR "
+            "contains(w, '...') OR contains(w, '…'))) AS BIGINT) "
+            "AS n_symbol, "
+            "CAST(len(list_filter(lns, l -> "
+            "regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet, "
+            "CAST(len(list_filter(lns, l -> "
+            "regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS BIGINT) "
+            "AS n_ellipsis FROM d), "
+            "o AS (SELECT doc_id, n_words, n_lines, "
+            "CASE WHEN n_words = 0 THEN NULL ELSE sum_len / n_words END "
+            "AS mean_word_len, "
+            "CASE WHEN n_words = 0 THEN NULL ELSE n_alpha / n_words END "
+            "AS alpha_ratio, "
+            "CASE WHEN n_words = 0 THEN NULL ELSE n_symbol / n_words END "
+            "AS symbol_ratio, "
+            "n_bullet / n_lines AS bullet_ratio, "
+            "n_ellipsis / n_lines AS ellipsis_ratio FROM s) "
+            "SELECT o.*, CAST(coalesce(n_words >= 50 AND "
+            "n_words <= 100000 AND mean_word_len >= 3 AND "
+            "mean_word_len <= 10 AND symbol_ratio <= 0.1 AND "
+            "alpha_ratio >= 0.8 AND bullet_ratio <= 0.9 AND "
+            "ellipsis_ratio <= 0.3, FALSE) AS INT) AS gopher_pass "
+            "FROM o"),
+        "c4_line_filter": (
+            "WITH d AS (SELECT doc_id, text, "
+            "string_split(text, chr(10)) AS lns FROM documents), "
+            "s AS (SELECT doc_id, "
+            "CAST(len(lns) AS BIGINT) AS n_lines, "
+            "CAST(len(list_filter(lns, l -> "
+            "regexp_matches(l, '[.!?\"]\\s*$') AND "
+            "len(list_filter(regexp_split_to_array(l, '\\s+'), "
+            "w -> w <> '')) >= 5 "
+            "AND NOT contains(lower(l), 'javascript'))) AS BIGINT) "
+            "AS kept_lines, "
+            "CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 "
+            "ELSE 0 END AS has_lorem, "
+            "CASE WHEN contains(text, '{') THEN 1 ELSE 0 END "
+            "AS has_brace FROM d) "
+            "SELECT doc_id, n_lines, kept_lines, "
+            "kept_lines / n_lines AS kept_ratio, has_lorem, has_brace, "
+            "CAST((kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0) "
+            "AS INT) AS c4_pass FROM s"),
         "lang_id": (
             "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) "
             "AS tok FROM documents), "

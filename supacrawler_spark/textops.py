@@ -125,6 +125,85 @@ def fingerprint(spark, sf_dir) -> DataFrame:
     )
 
 
+def gopher_quality_df(docs) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1 subset) as a pure map-only JVM plan: every signal is
+    an array-function fold over split(text) — zero shuffles, zero
+    Python; at 100 TB this runs entirely inside the scan stage.
+    Repetition-based Gopher rules live in repetition_stats; stopword
+    presence in quality_score."""
+    words = F.filter(F.split("text", "\\s+"), lambda w: w != F.lit(""))
+    lines = F.split("text", "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_len = F.aggregate(F.transform(words, F.length),
+                          F.lit(0).cast("long"), lambda a, x: a + x)
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_symbol = F.size(F.filter(
+        words, lambda w: w.contains("#") | w.contains("...")
+        | w.contains("…"))).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike("^\\s*[-*•]"))).cast("long")
+    n_ellipsis = F.size(F.filter(
+        lines, lambda l: l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+
+    out = docs.select(
+        "doc_id", n_words.alias("n_words"), n_lines.alias("n_lines"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+         .otherwise(sum_len / n_words).alias("mean_word_len"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+         .otherwise(n_alpha / n_words).alias("alpha_ratio"),
+        F.when(n_words == 0, F.lit(None).cast("double"))
+         .otherwise(n_symbol / n_words).alias("symbol_ratio"),
+        (n_bullet / n_lines).alias("bullet_ratio"),
+        (n_ellipsis / n_lines).alias("ellipsis_ratio"),
+    )
+    passed = (
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") <= 0.1) & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("bullet_ratio") <= 0.9) & (F.col("ellipsis_ratio") <= 0.3))
+    return out.withColumn(
+        "gopher_pass", F.coalesce(passed, F.lit(False)).cast("int"))
+
+
+def gopher_quality(spark, sf_dir) -> DataFrame:
+    return gopher_quality_df(_docs(spark, sf_dir))
+
+
+def c4_line_stats_df(docs) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    Transfer Learning with a Unified Text-to-Text Transformer", §2.2)
+    as a map-only JVM plan. Line keep mask: ends in terminal
+    punctuation, >=5 words, no "javascript". Page-level flags: "lorem
+    ipsum", '{'; page passes with >=3 kept lines and neither flag.
+    Zero shuffles — nested array lambdas, all codegen."""
+    lines = F.split("text", "\n")
+    kept = F.filter(lines, lambda l: (
+        l.rlike("[.!?\"]\\s*$")
+        & (F.size(F.filter(F.split(l, "\\s+"),
+                           lambda w: w != F.lit(""))) >= 5)
+        & ~F.lower(l).contains("javascript")))
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    return docs.select(
+        "doc_id", n_lines.alias("n_lines"), n_kept.alias("kept_lines"),
+        (n_kept / n_lines).alias("kept_ratio"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        ((n_kept >= 3) & ~has_lorem & ~has_brace)
+        .cast("int").alias("c4_pass"),
+    )
+
+
+def c4_line_filter(spark, sf_dir) -> DataFrame:
+    return c4_line_stats_df(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
