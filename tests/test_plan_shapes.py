@@ -235,3 +235,16 @@ def test_lsh_verified_pairs_fallback_has_no_broadcast(
 
     fast = _plan(lsh_verified_pairs(spark, sf))
     assert "BroadcastHashJoin" in fast, fast
+
+
+def test_published_filters_are_map_only(spark):
+    """gopher_quality / c4_line_filter must stay single scan stages:
+    every signal is an array-lambda over split(text) — no Exchange, no
+    Python worker."""
+    from supacrawler_spark.textops import c4_line_filter, gopher_quality
+
+    for op in (gopher_quality, c4_line_filter):
+        plan = _plan(op(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan, plan
