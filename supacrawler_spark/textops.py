@@ -705,15 +705,20 @@ def dedup_rate_by_source(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
                     .alias("dup_rate")))
 
 
-def dedup_keep_best(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
+def dedup_keep_best(spark, sf_dir, threshold: float = 0.8,
+                    clusters: "DataFrame | None" = None) -> DataFrame:
     """Canonical-document selection: for each near-dup cluster keep
     the doc with the most whitespace tokens (ties -> min doc_id).
     Integer ranking keys keep the choice bit-identical across engines
     (float quality scores tie unpredictably). One extra shuffle over
     dup_clusters: the row_number window on cluster_id; the token
     counts join map-side onto the (tiny) clustered-doc set via a
-    broadcast-bounded semi-filtered read."""
-    clusters = dup_clusters(spark, sf_dir, threshold)
+    broadcast-bounded semi-filtered read. Pass ``clusters`` to reuse an
+    already-built dup_clusters result — the LSH candidate pipeline is
+    the dominant cost, and callers that need both tables (corpus_select)
+    must not run it twice."""
+    if clusters is None:
+        clusters = dup_clusters(spark, sf_dir, threshold)
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     w = (Window.partitionBy("cluster_id")
@@ -1496,9 +1501,10 @@ def corpus_select(spark, sf_dir) -> DataFrame:
     rep = repetition_stats(spark, sf_dir).select(
         "doc_id", "n_tokens", "distinct_token_ratio", "top_token_frac")
     lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-    clustered = dup_clusters(spark, sf_dir).select(
+    clusters_df = dup_clusters(spark, sf_dir)
+    clustered = clusters_df.select(
         "doc_id", F.lit(True).alias("in_cluster"))
-    keepers = dedup_keep_best(spark, sf_dir).select(
+    keepers = dedup_keep_best(spark, sf_dir, clusters=clusters_df).select(
         F.col("keep_doc_id").alias("doc_id"),
         F.lit(True).alias("is_keeper"))
     contam = decontam_overlap(spark, sf_dir).select(
