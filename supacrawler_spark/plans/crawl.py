@@ -471,8 +471,19 @@ def run_crawl(
     except Exception:  # non-file source (in-memory test frame)
         _corpus_bytes = 0
     if _corpus_bytes:
+        # One task-wave per core: the scan stage fuses the corpus
+        # read, the broadcast fetch join AND the extraction UDF, and
+        # its per-task fixed cost (task-binary deserialize + Python
+        # worker dispatch) measured 165-400 ms/task on this box — at
+        # bytes/(3*cores) the 377 MB bench corpus became 160 tasks
+        # whose fixed cost (~26 s CPU per wave-stage) rivaled the
+        # extraction work itself. bytes/cores keeps every core busy
+        # exactly once per wave with per-task work >> per-task cost
+        # (interleaved A/B medians 52.5 s -> 36.4 s on the 7-wave
+        # bench crawl). At design scale this is a no-op: bytes/cores
+        # >> 128 MB caps at the default split size.
         _split = min(128 * 1024 * 1024,
-                     max(4 * 1024 * 1024, _corpus_bytes // (3 * _cores)))
+                     max(4 * 1024 * 1024, _corpus_bytes // _cores))
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(_split))
         # default 4 MB open-cost re-packs small files into few splits
         spark.conf.set("spark.sql.files.openCostInBytes",
@@ -483,11 +494,26 @@ def run_crawl(
         # of hot table partitions; disable for corpora >> cluster RAM.
         pages_prep = pages_prep.persist()
     # url-only corpus projection for the miss path of the fetch join:
-    # a few bytes/row, so the fat html column is scanned once per wave
+    # a few bytes/row, so the fat html column is scanned once per wave.
+    # Written on a pool thread — the scan is independent of the rest
+    # of preloop (politeness collapse, seed init, frontier count), so
+    # overlapping it takes its 1-2 s off the preloop critical path;
+    # joined just before the wave loop, where the projection is first
+    # read. Concurrent jobs on one SparkSession are supported (the
+    # wave loop's bloom/known appends already rely on this).
     urls_path = os.path.join(state_dir, "pages_urls")
+    _urls_err: list = []
+
+    def _urls_work():
+        try:
+            _write(pages_prep.select("url_canon"), urls_path)
+        except BaseException as exc:  # re-raised on join
+            _urls_err.append(exc)
+
+    _urls_th = None
     if not (resume and os.path.exists(urls_path)):
-        _write(pages_prep.select("url_canon"), urls_path)
-    pages_urls = spark.read.parquet(urls_path).persist()
+        _urls_th = threading.Thread(target=_urls_work, daemon=True)
+        _urls_th.start()
 
     D = params.max_depth
     L = params.link_limit
@@ -511,8 +537,15 @@ def run_crawl(
         # a driver dict -> literal MAP lookup in politeness_select: one
         # collect here instead of a broadcast-build job EVERY wave.
         # Large dims keep the broadcast-join path.
+        # coalesce(1) first: a limited collect over a many-partition
+        # dim otherwise runs Spark's incremental take — up to 4
+        # escalating jobs (1 -> 4 -> 16 -> all partitions) for a
+        # dim of a few dozen rows (measured 4.9 s of preloop on a
+        # cold session). One partition -> one job; the single-thread
+        # scan is bounded because this IS a dim (and the limit bounds
+        # driver memory regardless).
         _rows = (pol_eff.select("host", "max_parallel")
-                 .limit(1025).collect())
+                 .coalesce(1).limit(1025).collect())
         if len(_rows) <= 1024:
             pol_arg = {r["host"]: int(r["max_parallel"]) for r in _rows
                        if r["max_parallel"] is not None}
@@ -673,6 +706,11 @@ def run_crawl(
     # anti-join but dropped from the next frontier) live on _SeedSet.
 
     # ---- wave loop ----------------------------------------------------------
+    if _urls_th is not None:
+        _urls_th.join()
+        if _urls_err:
+            raise _urls_err[0]
+    pages_urls = spark.read.parquet(urls_path).persist()
     it = it0
     t_loop = time.time()
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -703,7 +741,15 @@ def run_crawl(
         # their ~10 shuffle stages — size the partition count to the
         # wave, not the cluster. The heavy extraction stage is
         # parallelized separately by an explicit repartition.
-        wave_shuffle = min(max(cores, n_frontier // 3000), 4 * cores)
+        # Floor at cores/4, not cores: the wave-loop shuffles move
+        # O(wave) tiny frontier rows, and each shuffle task pays the
+        # same fixed deserialize/dispatch cost as above (~0.37 s/task
+        # measured on the frontier-commit stage — 83% of its task
+        # time at 64 partitions). Extraction parallelism is ruled by
+        # the corpus-scan splits and the explicit repartition of
+        # `scheduled`, not by this; large frontiers still scale via
+        # the rows term (10^7 frontier rows -> 3333 partitions).
+        wave_shuffle = min(max(1, cores // 4, n_frontier // 3000), 4 * cores)
         spark.conf.set("spark.sql.shuffle.partitions", str(wave_shuffle))
 
         # Driver-known bound on this wave's SCHEDULED row count, before
