@@ -37,7 +37,7 @@ def work(htmls):
     for hb in htmls:
         html = bytes(hb).decode("utf-8", "replace")
         root = H.parse_html(html)
-        md = H.crawl_markdown(html)
+        md = H.crawl_markdown(html, root=root)
         if len(md.strip()) >= 10:
             H.extract_text(root=root)
             H.extract_links(html, "https://hot.example.org/x")

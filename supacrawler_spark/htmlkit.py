@@ -184,16 +184,21 @@ def _should_remove(n) -> bool:
 
 
 def _strip_boilerplate(sel):
-    """Remove matching *descendants* (goquery .Find excludes the
-    selection node itself, markdown.go:35-56)."""
-    def prune(node):
-        node.children = [c for c in node.children
-                         if c.tag is None or not _should_remove(c)]
-        for c in node.children:
-            if c.tag is not None:
-                prune(c)
-    prune(sel)
-    return sel
+    """Copy of ``sel`` with matching *descendants* removed (goquery
+    .Find excludes the selection node itself, markdown.go:35-56).
+    Copy-on-prune instead of in-place mutation so callers can hand the
+    markdown pipeline the SAME parsed tree the text/href extractors
+    use — one parse per page instead of two (the parse was ~45% of the
+    extraction kernel; a slot-object node copy is far cheaper than
+    re-tokenizing the html). Text nodes and attr dicts are shared —
+    both are read-only downstream."""
+    out = _Node(sel.tag, sel.attrs, sel.text)
+    for c in sel.children:
+        if c.tag is None:
+            out.children.append(c)
+        elif not _should_remove(c):
+            out.children.append(_strip_boilerplate(c))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -363,15 +368,22 @@ def remove_duplicates(markdown: str) -> str:
     seen_dates = set()
     for line in markdown.split("\n"):
         t = line.strip()
-        norm = _DATE_NORM_RE.sub("DATE", _LINK_NORM_RE.sub("LINK", t))
-        if _LINK_LINE_RE.match(t):
-            if norm in seen_links:
-                continue
-            seen_links.add(norm)
-        if _DATE_LINE_RE.match(t):
-            if norm in seen_dates:
-                continue
-            seen_dates.add(norm)
+        # the normalization is only CONSUMED by lines matching one of
+        # the two line classes — skip the two re.subs everywhere else
+        # (they were the kernel's single hottest regex site); the "!["
+        # prefix test is exact for _LINK_LINE_RE (anchored on ^!\[)
+        link_m = t.startswith("![") and _LINK_LINE_RE.match(t)
+        date_m = _DATE_LINE_RE.match(t)
+        if link_m or date_m:
+            norm = _DATE_NORM_RE.sub("DATE", _LINK_NORM_RE.sub("LINK", t))
+            if link_m:
+                if norm in seen_links:
+                    continue
+                seen_links.add(norm)
+            if date_m:
+                if norm in seen_dates:
+                    continue
+                seen_dates.add(norm)
         out.append(t + "\n")
     return "".join(out)
 
@@ -383,32 +395,45 @@ _INVISIBLE = ["\u200B", "\u200C", "\u200D", "\u200E", "\u200F",
 
 
 def fix_control_characters(text: str) -> str:
-    """markdown.go:166-199."""
+    """markdown.go:166-199. The invisible-codepoint replaces only
+    matter for non-ASCII text \u2014 every target is > U+007F \u2014 so ASCII
+    lines (the overwhelming majority) skip all 13 scans."""
     text = _CONTROL_RE.sub("", text)
-    for ch in _INVISIBLE:
-        text = text.replace(ch, "")
+    if not text.isascii():
+        for ch in _INVISIBLE:
+            text = text.replace(ch, "")
+        text = text.replace("\uFFFF", "")
     text = text.replace("\x00", "")
-    text = text.replace("\uFFFF", "")
     return text
 
 
 def fix_json_escapes(text: str) -> str:
-    """markdown.go:202-233."""
-    text = text.replace("\\<", "<").replace("\\>", ">")
-    text = text.replace("\\var", "var").replace("\\'", "'")
-    text = text.replace("u003c", "<").replace("u003e", ">")
-    text = text.replace("```devsite-terminal", "```bash")
-    text = text.replace("'\\''", "'")
-    text = text.replace("'''", "'").replace("''", "'")
-    text = (text.replace("&lt;", "<").replace("&gt;", ">")
-                .replace("&amp;", "&").replace("&quot;", '"'))
+    """markdown.go:202-233, with containment guards grouping the
+    replaces by the character each family requires \u2014 a C-speed `in`
+    test skips whole families on the common plain-text line (this is
+    called once per output line; the replaces dominated it)."""
+    if "\\" in text:
+        text = text.replace("\\<", "<").replace("\\>", ">")
+        text = text.replace("\\var", "var").replace("\\'", "'")
+    if "u003" in text:
+        text = text.replace("u003c", "<").replace("u003e", ">")
+    if "`" in text:
+        text = text.replace("```devsite-terminal", "```bash")
+    if "'" in text:
+        text = text.replace("'\\''", "'")
+        text = text.replace("'''", "'").replace("''", "'")
+    if "&" in text:
+        text = (text.replace("&lt;", "<").replace("&gt;", ">")
+                    .replace("&amp;", "&").replace("&quot;", '"'))
     return text
 
 
 def fix_invalid_escapes(text: str) -> str:
-    """markdown.go:146-163."""
-    text = _INVALID_ESCAPE_RE.sub(r"\1", text)
-    text = text.replace("\\\\", "\\")
+    """markdown.go:146-163. Both escape fixes require a backslash;
+    control/json cleanup runs unconditionally as before."""
+    if "\\" in text:
+        text = _INVALID_ESCAPE_RE.sub(r"\1", text)
+        text = text.replace("\\\\", "\\")
     text = fix_control_characters(text)
     return fix_json_escapes(text)
 
@@ -425,7 +450,8 @@ def clean_markdown_boilerplate(md_text: str) -> str:
         line = l.strip()
         if line == "":
             continue
-        if _IMG_RE.search(line) and _IMG_RE.sub("", line).strip() == "":
+        if ("![" in line and _IMG_RE.search(line)
+                and _IMG_RE.sub("", line).strip() == ""):
             continue
         out.append(fix_invalid_escapes(line))
     cleaned = "\n".join(out)
@@ -433,11 +459,14 @@ def clean_markdown_boilerplate(md_text: str) -> str:
     return cleaned.strip()
 
 
-def html_to_markdown(html: str) -> str:
-    """ConvertHTMLToMarkdown (markdown.go:13-76)."""
-    root = parse_html(html)
+def html_to_markdown(html: "str | None", root=None) -> str:
+    """ConvertHTMLToMarkdown (markdown.go:13-76). Accepts a pre-parsed
+    ``root`` (left unmutated — boilerplate stripping is copy-on-prune)
+    so extraction callers parse each page once."""
+    if root is None:
+        root = parse_html(html)
     sel = _select_content(root)
-    _strip_boilerplate(sel)
+    sel = _strip_boilerplate(sel)
     out = _convert_to_markdown(sel)
     out = remove_duplicates(out)
     out = clean_markdown_boilerplate(out)
@@ -472,17 +501,17 @@ def clean_content(md: str) -> str:
     return cleaned
 
 
-def scrape_markdown(html: str) -> str:
+def scrape_markdown(html: "str | None", root=None) -> str:
     """The scrape path's content field: cleanContent(ConvertHTMLToMarkdown)
     (scrape/service.go:217-237)."""
-    return clean_content(html_to_markdown(html))
+    return clean_content(html_to_markdown(html, root=root))
 
 
-def crawl_markdown(html: str) -> str:
+def crawl_markdown(html: "str | None", root=None) -> str:
     """The crawl path's PageContent.markdown: scrape content further
     passed through cleanContentForJSON = CleanMarkdownBoilerplate
     (crawl/service.go:716-723)."""
-    return clean_markdown_boilerplate(scrape_markdown(html))
+    return clean_markdown_boilerplate(scrape_markdown(html, root=root))
 
 
 # --------------------------------------------------------------------------
@@ -503,9 +532,9 @@ def extract_text(html: "str | None" = None, root=None) -> str:
     whitespace-collapsed, block boundaries = single newline, no blank
     lines, stripped. Pure function of the html bytes — this defines the
     golden ``text`` column (byte-identity target per BASELINE.json
-    input_hint). Accepts a pre-parsed ``root`` (MUST be unmutated —
-    the markdown pipeline's tree is pruned in place and unusable
-    here)."""
+    input_hint). Accepts a pre-parsed ``root``; the markdown pipeline
+    no longer mutates the tree (copy-on-prune), so one parse serves
+    every extractor."""
     if root is None:
         root = parse_html(html)
     body = _find_body(root)

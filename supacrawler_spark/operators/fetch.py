@@ -148,8 +148,10 @@ def make_extractor(include_html: bool, fresh: bool):
                 links = None
                 discovered = None
                 metadata = None
-                # one shared (unmutated) DOM parse for text + hrefs;
-                # the markdown pipeline prunes its own copy in place
+                # ONE shared (unmutated) DOM parse for markdown + text
+                # + hrefs; the markdown pipeline's boilerplate strip is
+                # copy-on-prune, so the tree is safe to reuse (r6: the
+                # second parse was ~45% of kernel CPU)
                 root = H.parse_html(html) if html is not None else None
 
                 if pattern_ok:
@@ -159,7 +161,7 @@ def make_extractor(include_html: bool, fresh: bool):
                     elif html is None:
                         error = ERR_LOW_QUALITY
                     else:
-                        markdown = H.crawl_markdown(html)
+                        markdown = H.crawl_markdown(html, root=root)
                         if len(markdown.strip()) < 10:
                             error = ERR_LOW_QUALITY
                             markdown = None

@@ -195,7 +195,8 @@ def _seed_frontier(spark, seeds) -> DataFrame:
         dedup.add(cu)
         rows.append((cu, U.extract_host(cu), U.url_hash64(cu), 0, -1,
                      int(rank), int(rank), U.extract_host(cu), 0.0, 0))
-    return spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    from supacrawler_spark.session import arrow_local_df
+    return arrow_local_df(spark, rows, FRONTIER_SCHEMA)
 
 
 # A seed list at or below this count stays a driver-side literal (zero
@@ -583,7 +584,10 @@ def run_crawl(
         limit_reached = False
         run_id = uuid.uuid4().hex[:12]
         frontier = seedset.frontier()
-        n_frontier = frontier.count()
+        # literal-seed mode: the deduped canonical count is already
+        # driver-known — no count job (dim mode still counts)
+        n_frontier = (len(seedset.urls) if seedset.urls is not None
+                      else frontier.count())
         discovered_cnt = 0
         hosts_est = None
         prev_sched = None

@@ -96,6 +96,29 @@ def get_spark(
     return b.getOrCreate()
 
 
+def arrow_local_df(spark, rows, schema):
+    """Tiny driver-side dim as an Arrow-backed LocalRelation.
+
+    ``spark.createDataFrame(list_of_rows)`` parallelizes the rows into
+    an RDD (defaultParallelism slices), and EVERY evaluation of that
+    scan pays a Python-worker round-trip per slice — measured 3.4-3.8 s
+    per crawl preloop for a 42-row politeness dim once ``coalesce(1)``
+    serialized 32 slice evaluations into one task (guide §4: the
+    JVM↔Python boundary is never free). An Arrow table becomes a
+    LocalTableScan that evaluates driver-side in milliseconds and
+    constant-folds into consumers. Rows are tuples matching ``schema``
+    field order; falls back to the classic path for empty input."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    names = schema.fieldNames()
+    tbl = pa.Table.from_pylist([dict(zip(names, r)) for r in rows],
+                               schema=to_arrow_schema(schema))
+    return spark.createDataFrame(tbl)
+
+
 SMALL_SCAN_CONF = "spark.supacrawler.smallScanRepartition"
 
 

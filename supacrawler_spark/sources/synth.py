@@ -355,7 +355,8 @@ def gen_robots_df(spark, disallow_sections=("product",)):
                      [],
                      ["/%s/" % s for s in disallow_sections],
                      500))
-    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+    from supacrawler_spark.session import arrow_local_df
+    return arrow_local_df(spark, rows, ROBOTS_SCHEMA)
 
 
 def gen_politeness_df(spark, max_parallel: int = 10,
@@ -370,4 +371,5 @@ def gen_politeness_df(spark, max_parallel: int = 10,
     for hid in range(n_hosts()):
         mp = hot_budget if (hid == 0 and hot_budget is not None) else max_parallel
         rows.append((host_name(hid), mp, delay_ms))
-    return spark.createDataFrame(rows, POLITENESS_SCHEMA)
+    from supacrawler_spark.session import arrow_local_df
+    return arrow_local_df(spark, rows, POLITENESS_SCHEMA)
