@@ -85,6 +85,16 @@ def get_spark(
         .config("spark.driver.extraJavaOptions",
                 "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "12g")
                 + " -XX:+AlwaysPreTouch")
+        # Every CollectLimit in this engine is a driver-known-bound
+        # gate (CC_SMALL_EDGES / PR_SMALL_EDGES / LSH_SMALL_PAIRS /
+        # the politeness-dim collapse) that expects to read its whole
+        # bounded input; Spark's default incremental take (1 partition,
+        # then x4) turns each into up to 4 sequential jobs of fixed
+        # driver latency. Scan up to 512 partitions in the first job —
+        # gate inputs are post-aggregation frames of <= a few hundred
+        # partitions, so the gate is ONE job; plain top-k queries use
+        # TakeOrdered and are unaffected.
+        .config("spark.sql.limit.initialNumPartitions", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

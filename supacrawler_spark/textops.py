@@ -84,28 +84,44 @@ def bpe_token_count(spark, sf_dir) -> DataFrame:
 
 
 def quality_score(spark, sf_dir) -> DataFrame:
-    """Quality signals: token stats + stopword ratio. One shuffle
-    (groupBy doc_id) with map-side partial aggregation."""
-    toks = _tokens(_docs(spark, sf_dir))
-    is_stop = F.col("tok").isin(*STOPWORDS_EN).cast("long")
-    return (toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(is_stop).alias("n_stopwords"),
-        (F.sum(is_stop) / F.count("*")).alias("stopword_ratio"),
-        (F.sum(F.length("tok")) / F.count("*")).alias("avg_token_len"),
-    ))
+    """Quality signals: token stats + stopword ratio. r6: map-only —
+    every aggregate is an array fold over split(text) in whole-stage
+    codegen (the gopher_quality shape), so the explode + groupBy
+    shuffle is gone entirely; the per-doc sums are the same integers,
+    the ratios the same single IEEE divisions. Null-text docs are
+    filtered exactly as the explode dropped them."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    w = F.split("text", " ")
+    n_tokens = F.size(w).cast("long")
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS_EN))) \
+        .cast("long")
+    sum_len = F.aggregate(w, F.lit(0).cast("long"),
+                          lambda a, t: a + F.length(t))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        (sum_len / n_tokens).alias("avg_token_len"),
+    )
 
 
 def lang_id(spark, sf_dir) -> DataFrame:
     """Stopword-dictionary language ID (n-gram heuristic at word
-    level). Scores stay in one aggregation; argmax is a CASE chain —
-    fully JVM-side."""
-    toks = _tokens(_docs(spark, sf_dir))
-    aggs = [
-        F.sum(F.col("tok").isin(*kws).cast("long")).alias(f"score_{lang}")
-        for lang, kws in sorted(LANG_STOPWORDS.items())
-    ]
-    scored = toks.groupBy("doc_id").agg(*aggs)
+    level). r6: map-only — per-language scores are array-filter sizes
+    over split(text) (no explode, no shuffle); argmax is a CASE chain,
+    all codegen. Same integers as the retired explode+groupBy."""
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    w = F.split("text", " ")
+
+    def _score(kws):
+        # one-arg lambda only: F.filter reads a second lambda param as
+        # the element index
+        return F.size(F.filter(w, lambda t: t.isin(*kws))).cast("long")
+
+    score_cols = [_score(kws).alias(f"score_{lang}")
+                  for lang, kws in sorted(LANG_STOPWORDS.items())]
+    scored = docs.select("doc_id", *score_cols)
     best = F.greatest(*[F.col(f"score_{l}") for l in sorted(LANG_STOPWORDS)])
     pred = F.when(F.col("score_en") == best, F.lit("en"))
     for lang in ("de", "fr"):
@@ -810,9 +826,14 @@ def decontam_overlap(spark, sf_dir, n: int = 4,
              .select(F.xxhash64("gram").alias("gh"),
                      F.col("doc_id").alias("bench_doc_id"))
              .distinct())
+    # r6: no corpus-side .distinct() — both output aggregates are
+    # countDistinct, so duplicate (doc_id, gram) occurrences cannot
+    # change them, and the distinct's full-corpus-gram exchange (the
+    # plan's only corpus shuffle) is pure cost. The corpus gram stream
+    # now flows map-only into the broadcast join; dedup happens inside
+    # the final aggregate over the (tiny) matched rows.
     corpus = (_ngrams(docs.filter(~is_bench), n)
-              .select("doc_id", F.xxhash64("gram").alias("gh"))
-              .distinct())
+              .select("doc_id", F.xxhash64("gram").alias("gh")))
     return (corpus.join(F.broadcast(bench), "gh")
             .groupBy("doc_id")
             .agg(F.countDistinct("gh").alias("n_hits"),
@@ -853,12 +874,19 @@ def dup_span_stats(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
     sf0.1 from the narrower exchange."""
     docs = _docs(spark, sf_dir)
     g = _ngrams(docs, n).select("doc_id", F.xxhash64("gram").alias("gh"))
-    shared = (g.groupBy("gh")
-              .agg(F.count_distinct("doc_id").alias("nd")))
-    return (g.join(shared, "gh")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_spans"),
-                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    # r6 single-pass shape: the old groupBy(gh)+join-back evaluated
+    # the scan+explode subtree TWICE (once per join side — plan-
+    # verified, plans/r06/dup_span_stats_before.txt). Pre-aggregate to
+    # one row per (gh, doc) with the occurrence count (map-side
+    # partial), read the distinct-doc count as a window COUNT over gh
+    # (rows of `per` ARE the distinct docs), then roll up per doc —
+    # one Generate, three slim exchanges, no broadcast build.
+    per = g.groupBy("gh", "doc_id").agg(F.count("*").alias("k"))
+    tagged = per.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("gh")))
+    return (tagged.groupBy("doc_id")
+            .agg(F.sum("k").alias("n_spans"),
+                 F.sum(F.when(F.col("nd") > 1, F.col("k")).otherwise(0))
                  .alias("n_dup_spans"))
             .select("doc_id", "n_spans", "n_dup_spans",
                     (F.col("n_dup_spans") / F.col("n_spans"))
@@ -891,9 +919,12 @@ def dup_span_removal(spark, sf_dir, n: int = DUP_SPAN_N) -> DataFrame:
         F.posexplode(_gram_arr(F.col("w"), n)).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.xxhash64("gram").alias("gh")))
-    first = occ.groupBy("gh").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first"))
-    dup = (occ.join(first, "gh")
+    # r6 single-pass shape (same rewrite as paragraph_dedup): the
+    # global-first owner is a window MIN over gh instead of a
+    # groupBy + join-back that evaluated the n-gram explode twice.
+    first = F.min(F.struct("doc_id", "pos")) \
+        .over(Window.partitionBy("gh")).alias("first")
+    dup = (occ.withColumn("first", first)
            .filter(~((F.col("doc_id") == F.col("first.doc_id"))
                      & (F.col("pos") == F.col("first.pos")))))
     covered = dup.select(
@@ -1040,14 +1071,12 @@ def paragraph_dedup(spark, sf_dir, k: int = PARA_TOKENS) -> DataFrame:
     and concatenating in pos order.
 
     Scale shape: chunking is a map-only array transform; paragraphs
-    shuffle once as 32-byte md5 keys (never the text) into a
-    map-side-combinable min-aggregate (min over struct(doc_id, pos) —
-    Spark's partial agg handles any orderable type, so the combine
-    still happens map-side), then an equi-join on the same key — two
-    co-partitioned hash exchanges total. The struct key is exact for
-    any (doc_id, pos): no packing, no per-doc paragraph-count bound
-    (a BIGINT doc_id*K+pos packing silently corrupts ordering once a
-    document exceeds K paragraphs)."""
+    shuffle ONCE as 32-byte md5 keys (never the text) into a window
+    MIN over para_hash (r6 — the prior min-groupBy + join-back
+    evaluated the chunk explode twice and sorted twice). The struct
+    key is exact for any (doc_id, pos): no packing, no per-doc
+    paragraph-count bound (a BIGINT doc_id*K+pos packing silently
+    corrupts ordering once a document exceeds K paragraphs)."""
     return paragraph_dedup_df(_docs(spark, sf_dir), k)
 
 
@@ -1063,11 +1092,16 @@ def paragraph_dedup_df(docs: DataFrame, k: int = PARA_TOKENS) -> DataFrame:
         .alias("pos0", "para"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"),
                 F.md5("para").alias("para_hash")))
+    # r6 single-pass shape: the old min-struct groupBy + join-back
+    # evaluated the chunk explode (split + slice + array_join + md5
+    # per paragraph) TWICE and ran two SortAggregates (min over struct
+    # is not hash-aggregable); the global first is instead read as a
+    # window MIN over para_hash — one Generate, one exchange, one
+    # sort. Same key, same comparison, bit-identical `keep`.
     key = F.struct("doc_id", "pos")
-    firsts = chunks.groupBy("para_hash").agg(F.min(key).alias("first_key"))
-    return (chunks.join(firsts, "para_hash")
-            .select("doc_id", "pos", "para_hash",
-                    (key == F.col("first_key")).alias("keep")))
+    first_key = F.min(key).over(Window.partitionBy("para_hash"))
+    return chunks.select("doc_id", "pos", "para_hash",
+                         (key == first_key).alias("keep"))
 
 
 N_EXPORT_SHARDS = 16
