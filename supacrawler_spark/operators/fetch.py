@@ -31,7 +31,8 @@ from supacrawler_spark.functions import (
 
 def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
                small_wave: bool = True,
-               pages_urls: "DataFrame | None" = None) -> DataFrame:
+               pages_urls: "DataFrame | None" = None,
+               broadcast_urls: bool = False) -> DataFrame:
     """J1: frontier left-joins the corpus on the canonical URL.
 
     Two physical strategies, picked by the driver per wave:
@@ -60,10 +61,24 @@ def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
         hits = web.join(b_sched, "url", "inner")
         urls = (pages_urls if pages_urls is not None
                 else pages_prep).select(F.col("url_canon").alias("url"))
-        hit_urls = urls.join(b_sched, "url", "left_semi")
-        miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti"
-                              ).withColumn("html",
-                                           F.lit(None).cast("binary"))
+        if broadcast_urls:
+            # r6: when the caller KNOWS the corpus-url dim is
+            # broadcast-sized (driver-known corpus bytes), the miss
+            # path anti-joins the wave against the broadcast url dim
+            # directly. The semi-join variant below builds `scheduled`
+            # twice per wave (column pruning gives the semi join a
+            # url-only build subtree, so ReuseExchange cannot fire —
+            # two BroadcastExchange jobs, event-log-verified); this
+            # path builds the wave once + the url dim once. miss =
+            # sched ∖ corpus-urls ≡ sched ∖ (corpus-urls ∩ sched).
+            miss = scheduled.join(F.broadcast(urls), "url", "left_anti"
+                                  ).withColumn("html",
+                                               F.lit(None).cast("binary"))
+        else:
+            hit_urls = urls.join(b_sched, "url", "left_semi")
+            miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti"
+                                  ).withColumn("html",
+                                               F.lit(None).cast("binary"))
         return hits.unionByName(miss.select(*hits.columns))
     return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
 

@@ -91,6 +91,14 @@ KNOWN_COMPACT_EVERY = 32
 # tests can force the shuffle path (test_crawl_engine).
 SMALL_WAVE_ROWS = 400_000
 
+# Broadcast the corpus's url-only projection for the fetch join's miss
+# anti-join while the corpus parquet is provably small (driver-known
+# bytes). Url rows are ~1/30 of page bytes, so 1 GiB of corpus parquet
+# is ≲40 MB of broadcast — inside the session's 64 MB auto threshold.
+# Above it (any real deployment) the miss path keeps the wave-broadcast
+# semi join, which never materializes anything corpus-sized.
+CORPUS_URLS_BROADCAST_BYTES = 1 << 30
+
 RESULT_COLS_USER = [
     "url", "iter", "depth", "crawl_ord", "seed_rank", "seed_host",
     "status_code", "success", "error", "title", "markdown", "text",
@@ -867,9 +875,13 @@ def run_crawl(
         if transport is not None:
             fetched = transport_fetch(scheduled, transport)
         else:
-            fetched = fetch_join(scheduled, pages_prep,
-                                 small_wave=sched_bound <= SMALL_WAVE_ROWS,
-                                 pages_urls=pages_urls)
+            fetched = fetch_join(
+                scheduled, pages_prep,
+                small_wave=sched_bound <= SMALL_WAVE_ROWS,
+                pages_urls=pages_urls,
+                broadcast_urls=bool(
+                    _corpus_bytes
+                    and _corpus_bytes <= CORPUS_URLS_BROADCAST_BYTES))
         results = fetched.mapInPandas(
             make_extractor(params.include_html, params.fresh),
             RESULT_SCHEMA)

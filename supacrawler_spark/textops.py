@@ -651,18 +651,7 @@ def _clusters_from_edges(edges: DataFrame) -> DataFrame:
     table."""
     head = _cc_small_head(edges)
     if head is not None:
-        from collections import Counter
-        import pandas as pd
-        comp = _union_find(head)
-        sizes = Counter(comp.values())
-        nodes = list(comp.keys())
-        pdf = pd.DataFrame(
-            {"doc_id": nodes,
-             "cluster_id": [comp[n] for n in nodes],
-             "cluster_size": [sizes[comp[n]] for n in nodes]},
-            dtype="int64")
-        return edges.sparkSession.createDataFrame(
-            pdf, "doc_id long, cluster_id long, cluster_size long")
+        return _clusters_local(head, edges.sparkSession)
     cc = connected_components(edges.localCheckpoint(),
                               force_distributed=True)
     w = Window.partitionBy("component")
@@ -670,6 +659,24 @@ def _clusters_from_edges(edges: DataFrame) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         F.count("*").over(w).alias("cluster_size"))
+
+
+def _clusters_local(head, spark) -> DataFrame:
+    """Driver-side tail of the small-edge path: union-find + cluster
+    sizes over collected (src, dst) rows, shipped back as one Arrow
+    batch."""
+    from collections import Counter
+    import pandas as pd
+    comp = _union_find(head)
+    sizes = Counter(comp.values())
+    nodes = list(comp.keys())
+    pdf = pd.DataFrame(
+        {"doc_id": nodes,
+         "cluster_id": [comp[n] for n in nodes],
+         "cluster_size": [sizes[comp[n]] for n in nodes]},
+        dtype="int64")
+    return spark.createDataFrame(
+        pdf, "doc_id long, cluster_id long, cluster_size long")
 
 
 def simhash_clusters(spark, sf_dir) -> DataFrame:
@@ -692,12 +699,33 @@ def multi_signal_clusters(spark, sf_dir, threshold: float = 0.8) -> DataFrame:
     banded no-all-pairs candidate generation; the union needs NO
     distinct — both union-find and min-label propagation are
     insensitive to duplicate edges, so deduping the edge set would
-    spend a shuffle to change nothing."""
-    mh = _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
-                        "doc_a", "doc_b")
-    sh = _cluster_edges(simhash_near_dup(spark, sf_dir),
-                        "doc_id_a", "doc_id_b")
-    return _clusters_from_edges(mh.union(sh))
+    spend a shuffle to change nothing.
+
+    r6: the two arms are INDEPENDENT Spark jobs, so their bounded edge
+    collects run concurrently (guide §2.6 — overlap independent jobs):
+    the SimHash arm's pipeline back-fills executors while the MinHash
+    arm runs its gate + verification jobs, instead of serializing
+    ~1.4 s of SimHash work after them. The small-edge gate is
+    unchanged: local union-find iff the combined arm row count is
+    within CC_SMALL_EDGES (per-arm heads of N+1 make the sum test
+    exactly the old union-head test), distributed min-label otherwise."""
+    def mh_edges():
+        return _cluster_edges(lsh_verified_pairs(spark, sf_dir, threshold),
+                              "doc_a", "doc_b")
+
+    def sh_edges():
+        return _cluster_edges(simhash_near_dup(spark, sf_dir),
+                              "doc_id_a", "doc_id_b")
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fm = ex.submit(lambda: _cc_small_head(mh_edges()))
+        fs = ex.submit(lambda: _cc_small_head(sh_edges()))
+        hm, hs = fm.result(), fs.result()
+    if (hm is not None and hs is not None
+            and len(hm) + len(hs) <= CC_SMALL_EDGES):
+        return _clusters_local(hm + hs, spark)
+    return _clusters_from_edges(mh_edges().union(sh_edges()))
 
 
 def dedup_rate_by_source(spark, sf_dir, threshold: float = 0.8) -> DataFrame:

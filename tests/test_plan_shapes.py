@@ -115,13 +115,17 @@ def test_pii_redact_is_map_only(spark):
 
 def test_paragraph_dedup_shuffles_hashes_not_text(
         spark, no_aqe_no_autobroadcast):
-    """paragraph_dedup exchanges exactly twice (first-seen aggregate +
-    equi-join), both keyed on the 32-byte para_hash — the paragraph
-    text never appears in an exchange's output schema."""
+    """paragraph_dedup exchanges exactly ONCE (r6 single-pass shape:
+    the global first is a window MIN over para_hash, replacing the
+    min-groupBy + join-back that exchanged twice and evaluated the
+    chunk explode twice), keyed on the 32-byte para_hash — the
+    paragraph text never appears in an exchange's output schema, and
+    the chunk Generate appears exactly once."""
     from supacrawler_spark.textops import paragraph_dedup
 
     plan = _plan(paragraph_dedup(spark, "/root/testdata/sf0.001"))
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Generate") == 1, plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "para_hash" in line and "para#" not in line, line
@@ -208,15 +212,18 @@ def test_session3_ops_stay_jvm_side(spark):
     assert "xxhash64" in _plan(textops.dup_span_removal(spark, sf))
 
 
-def test_dup_span_removal_first_owner_is_partial_agg(spark):
-    """The global-first owner per span is min(struct(doc_id,pos)) —
-    must plan as a partial (map-side) HashAggregate before the
-    exchange, the J5 shape BENCH argues from."""
+def test_dup_span_removal_first_owner_is_window_min(spark):
+    """The global-first owner per span is min(struct(doc_id,pos)) as a
+    window over the gh key (r6 single-pass shape — the prior
+    min-groupBy + join-back evaluated the n-gram explode twice): one
+    Window node, and the occurrence explode appears exactly once in
+    the first-owner subtree (a second Generate exists only for the
+    coverage-positions sequence explode, which carries no gram text)."""
     from supacrawler_spark import textops
 
     plan = _plan(textops.dup_span_removal(spark, "/root/testdata/sf0.001"))
-    # a partial_min(...) aggregate appears under the gh exchange
-    assert "partial_min" in plan or "partial_first" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("posexplode") <= 2, plan
 
 
 def test_lsh_verified_pairs_fallback_has_no_broadcast(
