@@ -394,23 +394,24 @@ def _simhash_df(docs: DataFrame, bits: int) -> DataFrame:
     from the first ``bits/4`` hex chars — cross-engine exact. One
     explode + one groupBy with partial (map-side) agg; bits must be
     < 63 so the fingerprint stays a non-negative BIGINT."""
+    # r6: the expressions are built as SQL strings parsed JVM-side in
+    # one call each — the prior per-bit Column-builder loops issued
+    # ~300 py4j round-trips per query (~1.2 s of measured driver-side
+    # build time, the query's single largest cost at bench scale).
+    # Same operators, same arithmetic, bit-identical fingerprints.
     toks = _tokens(docs)
-    hx = F.md5("tok")
-    nib = [F.conv(F.substring(hx, i + 1, 1), 16, 10).cast("int").alias(
-        f"n{i}") for i in range(bits // 4)]
-    t = toks.select("doc_id", *nib)
-    votes = []
-    for b in range(bits):
-        nibble = F.col(f"n{b // 4}")
-        bit = F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    t = toks.select("doc_id", F.md5("tok").alias("hx")).selectExpr(
+        "doc_id",
+        *[f"cast(conv(substring(hx, {i + 1}, 1), 16, 10) as int) as n{i}"
+          for i in range(bits // 4)])
+    votes = [F.expr(
+        f"sum(CASE WHEN (shiftright(n{b // 4}, {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)").alias(f"v{b}") for b in range(bits)]
     v = t.groupBy("doc_id").agg(*votes)
-    fp = None
-    for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0,
-                      F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        fp = term if fp is None else (fp + term)
-    return v.select("doc_id", fp.alias("simhash"))
+    terms = " + ".join(
+        f"CAST(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END AS BIGINT)"
+        for b in range(bits))
+    return v.selectExpr("doc_id", f"({terms}) AS simhash")
 
 
 def simhash(spark, sf_dir, bits: int = 16) -> DataFrame:
@@ -785,36 +786,43 @@ def repetition_stats(spark, sf_dir) -> DataFrame:
     token). Training pipelines threshold these to drop boilerplate and
     degenerate repetition.
 
-    Scale shape: two explode+groupBy chains (tokens, bigrams), both
-    with map-side partial aggregation, re-joined on doc_id — the
-    second groupBy and the join share one hash shuffle on doc_id.
-    Ratios divide exact integer counts, so IEEE-754 division makes
-    them bit-identical across engines."""
+    Scale shape (r6 single-pass): tokens and bigrams explode in ONE
+    kind-tagged Generate feeding one (doc, kind, gram) rollup with
+    map-side partial aggregation, then one groupBy(doc) — two slim
+    exchanges, one scan (the old two-chain + left-join form scanned
+    and exploded the corpus twice and exchanged four times). Ratios
+    divide exact integer counts, so IEEE-754 division makes them
+    bit-identical across engines."""
     w = F.split("text", " ")
-    d = _docs(spark, sf_dir).select("doc_id", w.alias("w"))
-    toks = d.select("doc_id", F.size("w").alias("n_tokens"),
-                    F.explode("w").alias("tok"))
-    tok_stats = (toks.groupBy("doc_id", "n_tokens", "tok")
-                 .agg(F.count("*").alias("c"))
-                 .groupBy("doc_id", "n_tokens")
-                 .agg(F.count("*").alias("n_distinct"),
-                      F.max("c").alias("top_c")))
     bigrams = F.expr(
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
         "(a, b) -> concat(a, ' ', b))")
-    bg_stats = (d.filter(F.size("w") >= 2)
-                .select("doc_id", F.explode(bigrams).alias("bg"))
-                .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
-                .groupBy("doc_id").agg(F.max("c").alias("top_bg_c")))
-    return (tok_stats.join(bg_stats, "doc_id", "left")
-            .select(
-                "doc_id", "n_tokens",
-                (F.col("n_distinct") / F.col("n_tokens"))
-                .alias("distinct_token_ratio"),
-                (F.col("top_c") / F.col("n_tokens"))
-                .alias("top_token_frac"),
-                (F.col("top_bg_c") / (F.col("n_tokens") - 1))
-                .alias("top_bigram_frac")))
+    tagged = F.concat(
+        F.transform("w", lambda t: F.struct(F.lit(0).alias("kind"),
+                                            t.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit(1).alias("kind"),
+                                                b.alias("g"))))
+    d = (_docs(spark, sf_dir).select("doc_id", w.alias("w"))
+         .select("doc_id", F.size("w").alias("n_tokens"),
+                 F.explode(tagged).alias("kg"))
+         .select("doc_id", "n_tokens", "kg.kind", "kg.g"))
+    per = (d.groupBy("doc_id", "n_tokens", "kind", "g")
+           .agg(F.count("*").alias("c")))
+    stats = (per.groupBy("doc_id", "n_tokens")
+             .agg(F.sum(F.when(F.col("kind") == 0, 1).otherwise(0))
+                  .alias("n_distinct"),
+                  F.max(F.when(F.col("kind") == 0, F.col("c")))
+                  .alias("top_c"),
+                  F.max(F.when(F.col("kind") == 1, F.col("c")))
+                  .alias("top_bg_c")))
+    return stats.select(
+        "doc_id", "n_tokens",
+        (F.col("n_distinct") / F.col("n_tokens"))
+        .alias("distinct_token_ratio"),
+        (F.col("top_c") / F.col("n_tokens"))
+        .alias("top_token_frac"),
+        (F.col("top_bg_c") / (F.col("n_tokens") - 1))
+        .alias("top_bigram_frac"))
 
 
 def _gram_arr(w, n: int):
@@ -1005,18 +1013,21 @@ def rarity_score(spark, sf_dir) -> DataFrame:
     rare vocabulary (gibberish or OOD content), low = boilerplate; the
     two tails are what an LM-based corpus filter trims.
 
-    Scale shape: one token-explode feeding BOTH the frequency count
-    (map-side partial agg) and the occurrence stream; they re-join on
-    the uniform 8-byte xxhash64 token key (hash-portability policy —
-    no hash reaches the output), then one groupBy(doc_id). Total T is
-    a 1-row broadcast like bm25's stats."""
+    Scale shape (r6 single-pass): ONE token-explode; the corpus
+    frequency of each occurrence is a window COUNT over the uniform
+    8-byte xxhash64 token key (hash-portability policy — no hash
+    reaches the output) instead of a groupBy + join-back that
+    evaluated the explode twice; then one groupBy(doc_id). Total T
+    collapses to a map-only 1-row aggregate (sum of per-doc token
+    counts — no explode) broadcast like bm25's stats."""
     docs = _docs(spark, sf_dir)
     occ = (docs.select("doc_id",
                        F.explode(F.split("text", " ")).alias("tok"))
            .select("doc_id", F.xxhash64("tok").alias("th")))
-    freq = occ.groupBy("th").agg(F.count("*").alias("f"))
-    tot = freq.agg(F.sum("f").alias("t"))
-    scored = (occ.join(freq, "th")
+    tot = docs.agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("t"))
+    scored = (occ.withColumn("f", F.count("*").over(
+                  Window.partitionBy("th")))
               .crossJoin(F.broadcast(tot))
               .select("doc_id",
                       (F.length(F.bin(F.col("t")))
@@ -1513,23 +1524,29 @@ def top_terms(spark, sf_dir, k: int = TOP_TERMS_K) -> DataFrame:
     float ln() of classical idf keeps the ranking bit-identical
     across engines.
 
-    Scale shape: token explode collapses immediately into two
-    map-side-combinable aggregates — (source, term) tf and per-term
-    df — joined on the term key; the ranking window partitions by
-    source over the aggregated |sources|x|vocab| table (vocab-bounded,
-    not corpus-bounded), so the top-k sort never sees raw tokens."""
+    Scale shape (r6 single-pass): ONE token explode collapses into a
+    (term, doc) rollup with map-side partial aggregation (a doc has
+    exactly one source, so the source rides as min()); per-term df is
+    a window COUNT over that rollup's rows (they ARE the distinct
+    (term, doc) pairs), tf the per-(source, term) sum — the term-hash
+    partitioning already satisfies the grouping, so no extra exchange
+    — and the top-k rank runs over the vocab-bounded table. The old
+    tf ⨝ df form scanned and exploded the corpus twice."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", "source",
                        F.explode(F.split("text", " ")).alias("term"))
     toks = toks.filter(~F.col("term").isin(*STOPWORDS_EN))
-    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    df = (toks.select("doc_id", "term").distinct()
-          .groupBy("term").agg(F.count("*").alias("df")))
+    per = (toks.groupBy("term", "doc_id")
+           .agg(F.min("source").alias("source"),
+                F.count("*").alias("c")))
+    per = per.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
+    tf = (per.groupBy("term", "source", "df")
+          .agg(F.sum("c").alias("tf")))
     w = (Window.partitionBy("source")
          .orderBy(F.col("tf").desc(), F.col("df").asc(),
                   F.col("term").asc()))
-    return (tf.join(df, "term")
-            .withColumn("rank", F.row_number().over(w))
+    return (tf.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("source", "term", "tf", "df", "rank"))
 
