@@ -63,13 +63,15 @@ def politeness_select(
         # per wave (the dim is identical every wave; a per-plan
         # broadcast exchange cannot be reused across wave jobs)
         if politeness_df:
-            kv = []
-            for h, b in politeness_df.items():
-                kv += [F.lit(h), F.lit(int(b))]
-            f = f.withColumn(
-                "_budget",
-                F.coalesce(F.create_map(*kv)[F.col("host")],
-                           F.lit(default_budget)))
+            # one JVM-parsed expression instead of 2x|dim| F.lit py4j
+            # round-trips rebuilt EVERY wave (r6: the wave loop's
+            # driver gaps were partly this plan-construction chatter)
+            def q(s):
+                return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            entries = ", ".join(f"{q(h)}, {int(b)}"
+                                for h, b in politeness_df.items())
+            f = f.withColumn("_budget", F.expr(
+                f"coalesce(map({entries})[host], {int(default_budget)})"))
         else:
             f = f.withColumn("_budget", F.lit(default_budget))
     elif politeness_df is not None:

@@ -306,7 +306,18 @@ class _SeedSet:
         IN-list predicate. Dim mode: broadcast left join on the
         distinct-key table (flat per-row cost in seed count)."""
         if self.urls is not None:
-            cond = F.col("url").isin(self.urls) if self.urls else F.lit(False)
+            if self.urls:
+                # one JVM-parsed IN-list: Column.isin(list) issues one
+                # py4j literal call per seed and is rebuilt twice per
+                # wave (~0.9 s of driver time per bench crawl at 64
+                # seeds, cProfile-measured)
+                def q(s):
+                    return ("'" + s.replace("\\", "\\\\")
+                            .replace("'", "\\'") + "'")
+                cond = F.expr(
+                    "url IN (" + ", ".join(q(u) for u in self.urls) + ")")
+            else:
+                cond = F.lit(False)
             return df.withColumn(out, cond)
         keys = (self.spark.read.schema("url string").parquet(self._keys_path)
                 .withColumn(out, F.lit(True)))
