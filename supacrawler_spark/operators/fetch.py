@@ -52,35 +52,81 @@ def fetch_join(scheduled: DataFrame, pages_prep: DataFrame,
     """
     web = pages_prep.select(F.col("url_canon").alias("url"), "html")
     if small_wave:
-        # ONE broadcast exchange of the wave, reused by the hits join
-        # and the hit-url semi join (identical subtree -> ReuseExchange;
-        # broadcasting the full slim frame for the semi join costs a few
-        # bytes/row more than a url projection but saves a whole
-        # broadcast build job per wave)
-        b_sched = F.broadcast(scheduled)
-        hits = web.join(b_sched, "url", "inner")
-        urls = (pages_urls if pages_urls is not None
-                else pages_prep).select(F.col("url_canon").alias("url"))
-        if broadcast_urls:
-            # r6: when the caller KNOWS the corpus-url dim is
-            # broadcast-sized (driver-known corpus bytes), the miss
-            # path anti-joins the wave against the broadcast url dim
-            # directly. The semi-join variant below builds `scheduled`
-            # twice per wave (column pruning gives the semi join a
-            # url-only build subtree, so ReuseExchange cannot fire —
-            # two BroadcastExchange jobs, event-log-verified); this
-            # path builds the wave once + the url dim once. miss =
-            # sched ∖ corpus-urls ≡ sched ∖ (corpus-urls ∩ sched).
-            miss = scheduled.join(F.broadcast(urls), "url", "left_anti"
-                                  ).withColumn("html",
-                                               F.lit(None).cast("binary"))
-        else:
-            hit_urls = urls.join(b_sched, "url", "left_semi")
-            miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti"
-                                  ).withColumn("html",
-                                               F.lit(None).cast("binary"))
+        hits, miss = fetch_join_split(scheduled, pages_prep,
+                                      pages_urls=pages_urls,
+                                      broadcast_urls=broadcast_urls)
+        miss = miss.withColumn("html", F.lit(None).cast("binary"))
         return hits.unionByName(miss.select(*hits.columns))
     return scheduled.hint("SHUFFLE_HASH").join(web, "url", "left")
+
+
+def fetch_join_split(scheduled: DataFrame, pages_prep: DataFrame,
+                     pages_urls: "DataFrame | None" = None,
+                     broadcast_urls: bool = False):
+    """Small-wave fetch join, hits and misses as SEPARATE frames (r6):
+    the miss side needs no html column and — see miss_results — no
+    Python at all, so callers can keep the extraction UDF strictly on
+    hit rows. ``fetch_join(small_wave=True)`` is this plus the union.
+
+    - ONE broadcast exchange of the wave, reused by the hits join and
+      the hit-url semi join.
+    - broadcast_urls: when the caller KNOWS the corpus-url dim is
+      broadcast-sized (driver-known corpus bytes), the miss path
+      anti-joins the wave against the broadcast url dim directly. The
+      semi-join variant builds `scheduled` twice per wave (column
+      pruning gives the semi join a url-only build subtree, so
+      ReuseExchange cannot fire — two BroadcastExchange jobs,
+      event-log-verified); this path builds the wave once + the url
+      dim once. miss = sched ∖ corpus-urls ≡ sched ∖ (corpus-urls ∩
+      sched)."""
+    web = pages_prep.select(F.col("url_canon").alias("url"), "html")
+    b_sched = F.broadcast(scheduled)
+    hits = web.join(b_sched, "url", "inner")
+    urls = (pages_urls if pages_urls is not None
+            else pages_prep).select(F.col("url_canon").alias("url"))
+    if broadcast_urls:
+        miss = scheduled.join(F.broadcast(urls), "url", "left_anti")
+    else:
+        hit_urls = urls.join(b_sched, "url", "left_semi")
+        miss = scheduled.join(F.broadcast(hit_urls), "url", "left_anti")
+    return hits, miss
+
+
+def miss_results(miss: DataFrame, fresh: bool) -> DataFrame:
+    """RESULT_SCHEMA rows for corpus misses, computed in whole-stage
+    codegen — the extractor's html-is-None branch is a pure function
+    of the scheduled row, so miss rows never cross the Python
+    boundary (r6: the miss side of every wave previously ran ~32
+    near-empty mapInPandas tasks, each paying a Python-worker
+    round-trip). Mirrors operators/fetch.make_extractor exactly:
+    status 404; fresh && robots-blocked (pattern-passing rows only)
+    -> 403/ERR_ROBOTS; pattern-passing otherwise -> ERR_LOW_QUALITY;
+    pattern-rejected seeds carry no error; every content field null.
+    Equality with the extractor is pinned by
+    tests/test_miss_results.py."""
+    from supacrawler_spark.schemas import RESULT_SCHEMA
+
+    pat = F.when(F.col("parent_ord") == -1,
+                 F.col("pattern_ok")).otherwise(F.lit(True))
+    blocked = F.lit(bool(fresh)) & ~F.col("robots_ok")
+    status = F.when(pat & blocked, F.lit(403)).otherwise(F.lit(404))
+    error = (F.when(~pat, F.lit(None).cast("string"))
+             .when(blocked, F.lit(ERR_ROBOTS))
+             .otherwise(F.lit(ERR_LOW_QUALITY)))
+    computed = {
+        "status_code": status.cast("int"),
+        "success": F.lit(False),
+        "error": error,
+    }
+    cols = []
+    for f in RESULT_SCHEMA.fields:
+        if f.name in computed:
+            cols.append(computed[f.name].alias(f.name))
+        elif f.name in miss.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:  # title/markdown/text/links/discovery/... : all null
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return miss.select(*cols)
 
 
 def transport_fetch(scheduled: DataFrame, transport) -> DataFrame:

@@ -52,7 +52,9 @@ from supacrawler_spark.functions import match_patterns_udf, robots_allowed_udf
 from supacrawler_spark.operators.fetch import (
     expand_candidates,
     fetch_join,
+    fetch_join_split,
     make_extractor,
+    miss_results,
     transport_fetch,
 )
 from supacrawler_spark.operators.frontier import order_exprs, politeness_select
@@ -883,19 +885,27 @@ def run_crawl(
         # shuffle-hash beyond (never sorts the corpus). With an
         # injected transport the corpus join is bypassed entirely (the
         # live-path seam).
+        extractor = make_extractor(params.include_html, params.fresh)
         if transport is not None:
             fetched = transport_fetch(scheduled, transport)
-        else:
-            fetched = fetch_join(
-                scheduled, pages_prep,
-                small_wave=sched_bound <= SMALL_WAVE_ROWS,
-                pages_urls=pages_urls,
+            results = fetched.mapInPandas(extractor, RESULT_SCHEMA)
+        elif sched_bound <= SMALL_WAVE_ROWS:
+            # r6: misses never cross the Python boundary — their
+            # result rows are pure codegen expressions of the
+            # scheduled row (miss_results == the extractor's
+            # html-is-None branch, equality-tested), so the
+            # extraction UDF runs on hit rows only.
+            hits, miss = fetch_join_split(
+                scheduled, pages_prep, pages_urls=pages_urls,
                 broadcast_urls=bool(
                     _corpus_bytes
                     and _corpus_bytes <= CORPUS_URLS_BROADCAST_BYTES))
-        results = fetched.mapInPandas(
-            make_extractor(params.include_html, params.fresh),
-            RESULT_SCHEMA)
+            results = (hits.mapInPandas(extractor, RESULT_SCHEMA)
+                       .unionByName(miss_results(miss, params.fresh)))
+        else:
+            fetched = fetch_join(scheduled, pages_prep, small_wave=False,
+                                 pages_urls=pages_urls)
+            results = fetched.mapInPandas(extractor, RESULT_SCHEMA)
         if cache_hits is not None:
             results = results.unionByName(
                 cache_hits.select(*[f.name for f in RESULT_SCHEMA.fields]))
