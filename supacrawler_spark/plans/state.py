@@ -306,9 +306,18 @@ class CatalogStateBackend(StateBackend):
         return [json.loads(r["line"]) for r in rows]
 
     def _manifest_df(self, lines: list) -> DataFrame:
-        return self.spark.createDataFrame(
-            [(ln["iter"], json.dumps(ln)) for ln in lines],
-            "it int, line string")
+        # Arrow LocalRelation, not a parallelized RDD: this frame is
+        # written once per wave and an RDD-backed scan pays a
+        # Python-worker round-trip per slice per evaluation (see
+        # session.arrow_local_df)
+        from pyspark.sql import types as T
+
+        from supacrawler_spark.session import arrow_local_df
+        schema = T.StructType([T.StructField("it", T.IntegerType()),
+                               T.StructField("line", T.StringType())])
+        return arrow_local_df(
+            self.spark,
+            [(ln["iter"], json.dumps(ln)) for ln in lines], schema)
 
     def append_manifest(self, line: dict, truncate: bool = False) -> None:
         mode = "overwrite" if truncate or not self.has_state() \
